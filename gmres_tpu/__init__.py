@@ -1,0 +1,65 @@
+"""gmres_tpu — a TPU-native Krylov-subspace solver library in JAX.
+
+A from-scratch re-design (not a port) of the capabilities of the reference
+Fortran+OpenMP library AlexanderGSC/gmres (see /root/reference):
+
+* Restarted GMRES(m) with two Arnoldi variants:
+  - Householder reflectors (Walker '84), here in *compact-WY* form so that
+    reflector sweeps are matmuls on the MXU with a single all-reduce
+    (reference: ``src/gmres_hh.f90``).
+  - Modified Gram-Schmidt with re-orthogonalization (MGS2), plus a
+    TPU-fast CGS2 mode (reference: ``src/gmres_mgsr.f90``).
+* CG / PCG (reference: ``src/cg.f90``).
+* BiCGSTAB / PBiCGSTAB (reference: ``src/bicgstab.f90``).
+* Chebyshev polynomial preconditioner of arbitrary order, with Lanczos
+  spectral-bound estimation (reference: ``src/preconds/chebyshev.f90``;
+  Lanczos was claimed in the reference README but absent from its code).
+* Model problems: 2-D Poisson (dense + matrix-free 5-point stencil),
+  Hilbert matrix, 2-D convection-diffusion (reference: ``src/problems/``).
+* Sparse operators: CSR / COO / ELL SpMV.
+* SPMD distribution over a ``jax.sharding.Mesh``: vectors are sharded,
+  dot products become ``psum`` all-reduces, stencil halos become
+  collective-permutes — the same solver code runs from one chip to a
+  multi-host slice. Pallas kernels cover the hot single-chip ops.
+"""
+
+from gmres_tpu.types import (
+    SolveResult,
+    GmresResult,
+    SolverStatus,
+)
+from gmres_tpu.solvers.cg import cg
+from gmres_tpu.solvers.bicgstab import bicgstab
+from gmres_tpu.solvers.gmres import gmres
+from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
+from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+from gmres_tpu.models.poisson import (
+    poisson_matrix,
+    poisson_apply,
+    poisson_operator,
+)
+from gmres_tpu.models.hilbert import hilbert_matrix
+from gmres_tpu.models.convection_diffusion import (
+    convection_diffusion_apply,
+    convection_diffusion_operator,
+)
+
+__all__ = [
+    "SolveResult",
+    "GmresResult",
+    "SolverStatus",
+    "cg",
+    "bicgstab",
+    "gmres",
+    "lanczos_bounds",
+    "power_iteration_bound",
+    "chebyshev_preconditioner",
+    "poisson_matrix",
+    "poisson_apply",
+    "poisson_operator",
+    "hilbert_matrix",
+    "convection_diffusion_apply",
+    "convection_diffusion_operator",
+]
+
+__version__ = "0.1.0"

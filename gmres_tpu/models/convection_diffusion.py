@@ -1,0 +1,73 @@
+"""2-D convection-diffusion model problem (nonsymmetric).
+
+The reference library has no nonsymmetric model problem, but its
+BiCGSTAB solver exists for exactly this class; BASELINE.md config 3
+specifies "BiCGSTAB on nonsymmetric 2-D convection-diffusion, 256×256
+stencil". Discretization: −Δu + (bx, by)·∇u with central differences on
+a uniform grid, scaled like the reference Poisson stencil (center 4):
+
+    y(i,j) = 4·x(i,j) − (1+γy)·x(i−1,j) − (1−γy)·x(i+1,j)
+                      − (1+γx)·x(i,j−1) − (1−γx)·x(i,j+1)
+
+with cell-Péclet numbers γ = b·h/2. γ=0 recovers the Poisson stencil.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from gmres_tpu.ops.stencil import stencil_5pt_general
+
+
+def convection_diffusion_coefs(gamma_x: float, gamma_y: float):
+    """(center, west, east, south, north) stencil coefficients."""
+    return (
+        4.0,
+        -(1.0 + gamma_x),
+        -(1.0 - gamma_x),
+        -(1.0 + gamma_y),
+        -(1.0 - gamma_y),
+    )
+
+
+def convection_diffusion_apply(
+    x: jnp.ndarray, gamma_x: float = 0.4, gamma_y: float = 0.2
+) -> jnp.ndarray:
+    """y = A·x on an (N, N) grid (or flat (N²,))."""
+    c = convection_diffusion_coefs(gamma_x, gamma_y)
+    if x.ndim == 1:
+        n = int(round(x.shape[0] ** 0.5))
+        return stencil_5pt_general(x.reshape(n, n), *c).reshape(-1)
+    return stencil_5pt_general(x, *c)
+
+
+def convection_diffusion_operator(
+    nsize: int, gamma_x: float = 0.4, gamma_y: float = 0.2
+) -> Callable:
+    c = convection_diffusion_coefs(gamma_x, gamma_y)
+
+    def apply_grid(x: jnp.ndarray) -> jnp.ndarray:
+        return stencil_5pt_general(x, *c)
+
+    return apply_grid
+
+
+def convection_diffusion_matrix(
+    nsize: int, gamma_x: float = 0.4, gamma_y: float = 0.2, dtype=jnp.float64
+) -> jnp.ndarray:
+    """Dense assembly for small-n validation (C-order flattening)."""
+    c0, cw, ce, cs, cn = convection_diffusion_coefs(gamma_x, gamma_y)
+    eye = jnp.eye(nsize, dtype=dtype)
+    kx = (
+        c0 / 2.0 * jnp.eye(nsize, dtype=dtype)
+        + cw * jnp.eye(nsize, k=-1, dtype=dtype)
+        + ce * jnp.eye(nsize, k=1, dtype=dtype)
+    )
+    ky = (
+        c0 / 2.0 * jnp.eye(nsize, dtype=dtype)
+        + cs * jnp.eye(nsize, k=-1, dtype=dtype)
+        + cn * jnp.eye(nsize, k=1, dtype=dtype)
+    )
+    return jnp.kron(eye, kx) + jnp.kron(ky, eye)

@@ -1,0 +1,159 @@
+"""5-point stencil kernels.
+
+Implementations:
+
+* ``stencil_5pt_general`` / ``stencil_5pt_apply`` — pure jnp shifted-pad
+  formulation. XLA fuses the shifted adds into a single HBM pass; under
+  sharded inputs the row shifts lower to collective-permute halo
+  exchanges automatically.
+* ``stencil_5pt_halo`` — jnp local stencil taking explicit one-row halos
+  (used by the shard_map path in ``gmres_tpu.parallel.halo``).
+* ``stencil_5pt_pallas`` / ``stencil_5pt_pallas_halo`` — Pallas TPU
+  kernels operating on a block resident in VMEM (the per-chip shard of a
+  distributed grid, or the whole grid when it fits). float32: Mosaic has
+  no f64 vector path, so f64 stays on the jnp/XLA route.
+
+Reference: ``src/problems/poisson.f90:33-77`` (stvec) — its interior /
+edge / corner OpenMP loop split is the serial shadow of this halo
+decomposition. Generalized coefficients (center, west, east, south,
+north) also serve the convection-diffusion operator
+(models/convection_diffusion.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift(x: jnp.ndarray, dr: int, dc: int) -> jnp.ndarray:
+    """x shifted by (dr, dc) with zero fill (Dirichlet truncation).
+
+    Implemented as roll + boundary mask rather than pad + slice: roll
+    keeps the array shape, so under a sharded input it lowers to an ICI
+    collective-permute of the boundary rows (the halo exchange), while
+    pad would change the sharded dimension size (unsupported)."""
+
+    def roll_mask(y, shift, axis):
+        if shift == 0:
+            return y
+        y = jnp.roll(y, shift, axis=axis)
+        idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, axis)
+        if shift > 0:
+            return jnp.where(idx >= shift, y, 0)
+        return jnp.where(idx < y.shape[axis] + shift, y, 0)
+
+    return roll_mask(roll_mask(x, dr, 0), dc, 1)
+
+
+def stencil_5pt_general(
+    x: jnp.ndarray,
+    center: float,
+    west: float,
+    east: float,
+    south: float,
+    north: float,
+) -> jnp.ndarray:
+    """y(i,j) = center·x(i,j) + west·x(i,j−1) + east·x(i,j+1)
+    + south·x(i−1,j) + north·x(i+1,j), zero outside the grid."""
+    return (
+        center * x
+        + west * _shift(x, 0, 1)
+        + east * _shift(x, 0, -1)
+        + south * _shift(x, 1, 0)
+        + north * _shift(x, -1, 0)
+    )
+
+
+def stencil_5pt_apply(x: jnp.ndarray) -> jnp.ndarray:
+    """Laplacian special case: y = 4x − (W+E+S+N) (poisson.f90:38-76)."""
+    return stencil_5pt_general(x, 4.0, -1.0, -1.0, -1.0, -1.0)
+
+
+def stencil_5pt_halo(
+    x: jnp.ndarray,
+    top: jnp.ndarray,
+    bottom: jnp.ndarray,
+    coefs=(4.0, -1.0, -1.0, -1.0, -1.0),
+) -> jnp.ndarray:
+    """Local stencil over a (rows, N) block with explicit halo rows.
+
+    ``top`` is the row above the block (x(i−1) for the first block row),
+    ``bottom`` the row below; pass zeros at the physical boundary.
+    Used by the distributed row-partitioned operator
+    (parallel/halo.py) — the reference's interior/edge split
+    (poisson.f90:38-67) done across chips instead of loops.
+    """
+    c0, cw, ce, cs, cn = coefs
+    ext = jnp.concatenate([top[None, :], x, bottom[None, :]], axis=0)
+    mid = ext[1:-1, :]
+    up = ext[:-2, :]
+    down = ext[2:, :]
+    left = jnp.pad(mid[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(mid[:, 1:], ((0, 0), (0, 1)))
+    return c0 * mid + cw * left + ce * right + cs * up + cn * down
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels (block resident in VMEM).
+# ---------------------------------------------------------------------------
+
+
+def _halo_kernel(coef_ref, x_ref, top_ref, bot_ref, o_ref):
+    c0 = coef_ref[0]
+    cw = coef_ref[1]
+    ce = coef_ref[2]
+    cs = coef_ref[3]
+    cn = coef_ref[4]
+    x = x_ref[:]
+    up = jnp.concatenate([top_ref[:], x[:-1, :]], axis=0)
+    down = jnp.concatenate([x[1:, :], bot_ref[:]], axis=0)
+    left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+    o_ref[:] = c0 * x + cw * left + ce * right + cs * up + cn * down
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stencil_5pt_pallas_halo(
+    x: jnp.ndarray,
+    top: jnp.ndarray,
+    bottom: jnp.ndarray,
+    coefs: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas stencil over a (rows, N) VMEM-resident block with explicit
+    (1, N) halo rows. Single program; the block is the unit of work —
+    for distributed grids this is called per shard under shard_map."""
+    if coefs is None:
+        coefs = jnp.array([4.0, -1.0, -1.0, -1.0, -1.0], dtype=x.dtype)
+    if top.ndim == 1:
+        top = top[None, :]
+    if bottom.ndim == 1:
+        bottom = bottom[None, :]
+    return pl.pallas_call(
+        _halo_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(coefs, x, top, bottom)
+
+
+def stencil_5pt_pallas(
+    x: jnp.ndarray,
+    coefs: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas stencil on a full (N, N) grid with Dirichlet boundaries
+    (zero halos). Requires the grid to fit in VMEM (f32 N ≲ 1024)."""
+    zero = jnp.zeros((1, x.shape[1]), dtype=x.dtype)
+    return stencil_5pt_pallas_halo(x, zero, zero, coefs, interpret=interpret)

@@ -1,0 +1,102 @@
+"""Chebyshev polynomial preconditioner.
+
+Reference: ``src/preconds/chebyshev.f90:8-38`` (cbpr2) — a degree-2
+Chebyshev approximation of A⁻¹ from eigenvalue bounds (λ_min, λ_max):
+
+    c = (λb − λa)/2 ; d = (λb + λa)/2
+    α = 1/d ; β = (c·α/2)² ; α = 1/(d − β·d²·…)   — precisely:
+    α = 1/(d − (c/(2d))²·d)  [chebyshev.f90:20-25]
+    z = r/d ; z += α·(r − A·z)                    [chebyshev.f90:27-37]
+
+i.e. one operator application per preconditioning. Reference quirk
+(SURVEY §7 quirk 3): every driver passes params=(8.2, 0.2) so position 1
+is read as eigen_min — the values arrive (max, min)-swapped. Harmless
+because c enters only squared; we accept (lam_min, lam_max) in either
+order and normalize.
+
+Beyond parity, ``chebyshev_preconditioner(order=k)`` implements the
+standard order-k Chebyshev iteration z_k ≈ A⁻¹r via the three-term
+recurrence on the interval [λ_min, λ_max] — each step is one fused
+stencil+axpy, ideal for TPU (no dot products, no communication beyond
+the operator's own halos).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+from gmres_tpu.types import LinearOperator, Preconditioner
+
+
+def chebyshev_preconditioner(
+    A: LinearOperator,
+    lam_min: float,
+    lam_max: float,
+    order: int = 2,
+    reference_form: bool = True,
+) -> Preconditioner:
+    """Return z = M⁻¹(r) approximating A⁻¹ on spectrum [lam_min, lam_max].
+
+    order=2 with reference_form=True reproduces cbpr2 exactly
+    (chebyshev.f90:20-37). Higher orders use the classic Chebyshev
+    semi-iteration recurrence.
+    """
+    lo, hi = sorted((float(lam_min), float(lam_max)))
+
+    if order == 2 and reference_form:
+        c = (hi - lo) / 2.0
+        d = (hi + lo) / 2.0
+        alpha = 1.0 / d
+        beta = (c * alpha / 2.0) ** 2
+        alpha = 1.0 / (d - beta)
+
+        def m_inv(r):
+            z = r / d
+            return z + alpha * (r - A(z))
+
+        return m_inv
+
+    # General order-k Chebyshev semi-iteration for A z ≈ r starting at
+    # z₀ = 0 (Saad, "Iterative Methods", alg. 12.1).
+    theta = (hi + lo) / 2.0
+    delta = (hi - lo) / 2.0
+    sigma1 = theta / delta
+    rho0 = 1.0 / sigma1
+
+    def m_inv(r):
+        d0 = r / theta
+        z = d0
+        rho = rho0
+        for _ in range(order - 1):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            resid = r - A(z)
+            d0 = rho_new * rho * d0 + 2.0 * rho_new / delta * resid
+            z = z + d0
+            rho = rho_new
+        return z
+
+    return m_inv
+
+
+def chebyshev_from_lanczos(
+    A: LinearOperator,
+    probe: jnp.ndarray,
+    order: int = 2,
+    lanczos_steps: int = 20,
+    safety: float = 1.05,
+    floor: float = 0.0,
+) -> Preconditioner:
+    """Build the Chebyshev preconditioner with bounds estimated by
+    Lanczos — the capability the reference README claims ("spectral
+    radius estimation via Lanczos iteration", README.md:11) but whose
+    code does not exist; every reference driver hardcodes
+    params=(8.2, 0.2) instead (test_poisson_mf.f90:38, SURVEY §2 C10).
+    """
+    from gmres_tpu.solvers.lanczos import lanczos_bounds
+
+    lo, hi = lanczos_bounds(A, probe, steps=lanczos_steps)
+    lo = max(float(lo) / safety, floor)
+    hi = float(hi) * safety
+    return chebyshev_preconditioner(A, lo, hi, order=order)

@@ -1,0 +1,137 @@
+"""Conjugate Gradient for SPD systems, with optional left preconditioner.
+
+Reference: ``src/cg.f90`` — `cg` (11-42), `pcg` (44-81) and their OpenMP
+twins (83-234). The update order, reduction fusions and convergence
+semantics are kept faithfully:
+
+* rr = (r,z) and pAp = (Ap,p) are produced by ONE fused reduction
+  (reference ``reduction(+:rr,alpha)``, cg.f90:118-123 / 207-212) —
+  here a single stacked all-reduce via ``batched_vdot``.
+* convergence on the ABSOLUTE residual ‖r‖₂ < tol, tested after the
+  x/r update (cg.f90:37,76,145,222) — note this differs from GMRES's
+  relative criterion (SURVEY §4).
+* ``iterations`` out = iterations performed; max_iterations in — the
+  reference's inout ``iter`` (cg.f90:16).
+
+Everything is a ``lax.while_loop`` over pytree vectors: element-wise
+updates shard trivially, each iteration costs one stencil application
+(+1 inside the preconditioner) and two all-reduce points, the canonical
+latency-bound Krylov loop (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gmres_tpu.ops.blas import (
+    batched_vdot,
+    tree_axpy,
+    tree_scale,
+    tree_sub,
+    tree_vdot,
+    tree_zeros_like,
+)
+from gmres_tpu.types import (
+    LinearOperator,
+    Preconditioner,
+    SolveResult,
+    SolverStatus,
+)
+
+
+def cg(
+    A: LinearOperator,
+    b: Any,
+    *,
+    tol: float = 1e-9,
+    max_iterations: int = 10_000,
+    M: Optional[Preconditioner] = None,
+    x0: Optional[Any] = None,
+) -> SolveResult:
+    """Solve A x = b (A SPD) by (preconditioned) conjugate gradients.
+
+    A and M are callables over pytree vectors; M approximates A⁻¹
+    (left preconditioning, cg.f90:154-234). x0 defaults to zeros (the
+    reference always starts at zero, cg.f90:27).
+    """
+    if x0 is None:
+        x = tree_zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = tree_sub(b, A(x0))
+
+    z = M(r) if M is not None else r
+    p = z
+
+    dtype = jnp.result_type(*jax.tree.leaves(b))
+    history = jnp.zeros((max_iterations,), dtype=dtype)
+
+    def cond(state):
+        i, _, _, _, _, res, status = state
+        return (i < max_iterations) & (status == SolverStatus.MAX_ITERATIONS)
+
+    def body(state):
+        i, x, r, z, p, _, status = state
+        ap = A(p)
+        # One fused all-reduce for rr=(r,z) and pAp=(Ap,p)
+        # (cg.f90:197-202 fused reduction).
+        rr, pap = batched_vdot([(r, z), (ap, p)])
+        alpha = rr / pap
+        x = tree_axpy(alpha, p, x)
+        r = tree_axpy(-alpha, ap, r)
+        res = jnp.sqrt(tree_vdot(r, r))
+        z_new = M(r) if M is not None else r
+        beta = tree_vdot(r, z_new) / rr
+        p = tree_axpy(beta, p, z_new)
+        status = jnp.where(
+            res < tol, jnp.int32(SolverStatus.CONVERGED), status
+        )
+        status = jnp.where(
+            ~jnp.isfinite(res), jnp.int32(SolverStatus.BREAKDOWN), status
+        )
+        return (i + 1, x, r, z_new, p, res, status)
+
+    res0 = jnp.asarray(jnp.sqrt(tree_vdot(r, r)), dtype=dtype)
+    # Already converged at x0 (e.g. b = 0): skip the loop entirely —
+    # the reference would divide 0/0 here (cg.f90:200 alpha = rr/pAp).
+    status0 = jnp.where(
+        res0 < tol,
+        jnp.int32(SolverStatus.CONVERGED),
+        jnp.int32(SolverStatus.MAX_ITERATIONS),
+    )
+    state = (
+        jnp.int32(0),
+        x,
+        r,
+        z,
+        p,
+        res0,
+        status0,
+    )
+
+    # Residual history is recorded by wrapping the body: the while_loop
+    # carries it alongside (scatter one scalar per iteration).
+    def body_hist(state_hist):
+        state, hist = state_hist
+        new_state = body(state)
+        i = state[0]
+        hist = hist.at[i].set(new_state[5])
+        return (new_state, hist)
+
+    def cond_hist(state_hist):
+        return cond(state_hist[0])
+
+    (i, x, r, z, p, res, status), history = jax.lax.while_loop(
+        cond_hist, body_hist, (state, history)
+    )
+    return SolveResult(
+        x=x,
+        iterations=i,
+        residual=res,
+        status=status,
+        residual_history=history,
+    )

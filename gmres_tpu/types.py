@@ -1,0 +1,113 @@
+"""Core result/status types shared by every solver.
+
+The reference library returns solver state through out-arguments
+(``final_err(:)``, ``v_err(:)``, ``n_out``, ``stages_out`` in
+``src/gmres_hh.f90:10-18``; ``iter``/``res`` inout/out in
+``src/cg.f90:11-17``). Here every solver returns a single pytree
+dataclass so results flow through ``jit``/``vmap`` untouched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+# A linear operator is any callable y = A(x) mapping a vector (array or
+# pytree of arrays) to a vector of the same structure. This is the JAX
+# analogue of the reference's abstract `stencil_vector` interface
+# (src/interfaces.f90:12-18): shape travels in the closure, not as an
+# `n` argument inferred from sqrt(len(x)) (reference quirk, SURVEY §1).
+LinearOperator = Callable[[Any], Any]
+
+# A preconditioner is z = M⁻¹(r): same contract as the operator. The
+# reference's `precond` interface (src/interfaces.f90:19-28) additionally
+# threads the A-operator, a scratch buffer and a params array; in JAX all
+# of that lives in the closure (see precond/chebyshev.py).
+Preconditioner = Callable[[Any], Any]
+
+
+class SolverStatus(enum.IntEnum):
+    """Termination status. Stored as an int32 so it can live inside jit.
+
+    The reference has no status concept — breakdown handling is the
+    `h_val < tol` early exit (src/gmres_mgsr.f90:69) and non-convergence
+    is silent (and leaves `iters` undefined in pbicgstab_omp,
+    src/bicgstab.f90:106,181 — a quirk we deliberately fix, SURVEY §7
+    quirk 1).
+    """
+
+    CONVERGED = 0
+    MAX_ITERATIONS = 1
+    BREAKDOWN = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveResult:
+    """Result of a CG / BiCGSTAB solve.
+
+    Attributes:
+      x: solution vector (same structure as b).
+      iterations: number of iterations performed (int32).
+      residual: final residual norm ‖r‖₂ (absolute, matching the
+        reference's convergence test `res < tol` at src/cg.f90:37,
+        src/bicgstab.f90:40).
+      status: SolverStatus as int32.
+      residual_history: per-iteration ‖r‖₂, length = max_iterations,
+        padded with the final value past convergence (the reference
+        prints only the final residual for CG/BiCGSTAB; the history is
+        an addition for observability, SURVEY §5).
+    """
+
+    x: Any
+    iterations: jnp.ndarray
+    residual: jnp.ndarray
+    status: jnp.ndarray
+    residual_history: jnp.ndarray
+
+    @property
+    def converged(self) -> jnp.ndarray:
+        return self.status == SolverStatus.CONVERGED
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GmresResult:
+    """Result of a restarted GMRES(m) solve.
+
+    Mirrors the reference out-argument set of gmres_hh_prec_omp
+    (src/gmres_hh.f90:388-397) / gmres_mgsr_omp (src/gmres_mgsr.f90:277):
+
+    Attributes:
+      x: solution vector.
+      iterations: inner iterations in the final restart cycle
+        (reference `n_out`).
+      restarts: restart cycles performed (reference `stages_out` /
+        `restart_out`).
+      residual: final relative residual |g(j+1)|/β₀.
+      status: SolverStatus int32.
+      residual_history: (m,) per-inner-iteration relative residual of the
+        *last* restart cycle — the reference's `final_err(:)` semantics
+        (it is reset every restart, src/gmres_hh.f90:421 `g=0;P=0;H=0`).
+      v_err: (m+1,) orthogonality-error audit; definition differs by
+        variant exactly as in the reference (SURVEY §7 quirk 5):
+        Householder uses Σ 2(Vᵢ·Vⱼ)² off-diagonal (gmres_hh.f90:587-591),
+        MGSR uses the cumulative sqrt chain incl. diagonal deviation
+        (gmres_mgsr.f90:414-420).
+    """
+
+    x: Any
+    iterations: jnp.ndarray
+    restarts: jnp.ndarray
+    residual: jnp.ndarray
+    status: jnp.ndarray
+    residual_history: jnp.ndarray
+    v_err: jnp.ndarray
+
+    @property
+    def converged(self) -> jnp.ndarray:
+        return self.status == SolverStatus.CONVERGED

@@ -1,0 +1,205 @@
+"""Independent NumPy oracle implementations of the solver algorithms.
+
+Written directly from the textbook algorithms (Walker '84 Householder
+GMRES, MGS(2) Arnoldi GMRES, CG, BiCGSTAB) with the reference's
+convergence semantics (relative |g|/β₀ for GMRES, absolute ‖r‖ for
+CG/BiCGSTAB). These produce golden iteration counts and residual
+histories to validate the JAX implementations against — the role the
+reference's manufactured-solution eyeball tables play (SURVEY §4),
+made executable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def golden_cg(matvec, b, tol, max_iter, m_inv=None):
+    x = np.zeros_like(b)
+    r = b.copy()
+    z = m_inv(r) if m_inv else r
+    p = z.copy()
+    hist = []
+    for i in range(1, max_iter + 1):
+        ap = matvec(p)
+        rr = r @ z
+        alpha = rr / (ap @ p)
+        x += alpha * p
+        r -= alpha * ap
+        res = np.linalg.norm(r)
+        hist.append(res)
+        z = m_inv(r) if m_inv else r
+        beta = (r @ z) / rr
+        p = z + beta * p
+        if res < tol:
+            return x, i, res, np.array(hist)
+    return x, max_iter, res, np.array(hist)
+
+
+def golden_bicgstab(matvec, b, tol, max_iter, m_inv=None):
+    x = np.zeros_like(b)
+    r = b.copy()
+    r0 = r.copy()
+    p = r.copy()
+    hist = []
+    for i in range(1, max_iter + 1):
+        z1 = m_inv(p) if m_inv else p
+        ap = matvec(z1)
+        rr0 = r @ r0
+        alpha = rr0 / (ap @ r0)
+        s = r - alpha * ap
+        z2 = m_inv(s) if m_inv else s
+        as_ = matvec(z2)
+        omega = (as_ @ s) / (as_ @ as_)
+        x += alpha * z1 + omega * z2
+        r = s - omega * as_
+        res = np.linalg.norm(r)
+        hist.append(res)
+        if res < tol:
+            return x, i, res, np.array(hist)
+        beta = ((r @ r0) / rr0) * (alpha / omega)
+        p = r + beta * (p - omega * ap)
+    return x, max_iter, res, np.array(hist)
+
+
+def _apply_givens(cs, sn, h, j):
+    for i in range(j):
+        tmp = h[i]
+        h[i] = cs[i] * tmp + sn[i] * h[i + 1]
+        h[i + 1] = -sn[i] * tmp + cs[i] * h[i + 1]
+    return h
+
+
+def golden_gmres_mgs2(matvec, b, m, tol, max_restarts, m_inv=None):
+    """Restarted GMRES with MGS run twice (re-orthogonalization)."""
+    n = b.size
+    x = np.zeros_like(b)
+    beta0 = np.linalg.norm(b)
+    for st in range(1, max_restarts + 1):
+        r = b - matvec(x)
+        w = m_inv(r) if m_inv else r
+        beta = np.linalg.norm(w)
+        V = np.zeros((m + 1, n))
+        H = np.zeros((m + 1, m))
+        g = np.zeros(m + 1)
+        cs = np.zeros(m)
+        sn = np.zeros(m)
+        V[0] = w / beta
+        g[0] = beta
+        ferr = np.zeros(m)
+        n_out = 0
+        converged = False
+        for j in range(m):
+            n_out = j + 1
+            z = matvec(V[j])
+            w = m_inv(z) if m_inv else z
+            for _ in range(2):
+                for i in range(j + 1):
+                    h = w @ V[i]
+                    H[i, j] += h
+                    w -= h * V[i]
+            h_val = np.linalg.norm(w)
+            col = H[: m + 1, j].copy()
+            col[j + 1] = h_val
+            col = _apply_givens(cs, sn, col, j)
+            ds = np.hypot(col[j + 1], col[j])
+            cs[j] = col[j] / ds
+            sn[j] = col[j + 1] / ds
+            col[j] = cs[j] * col[j] + sn[j] * col[j + 1]
+            col[j + 1] = 0.0
+            H[:, j] = col
+            tmp = g[j]
+            g[j] = cs[j] * tmp + sn[j] * g[j + 1]
+            g[j + 1] = -sn[j] * tmp + cs[j] * g[j + 1]
+            ferr[j] = abs(g[j + 1]) / beta0
+            V[j + 1] = w / h_val if h_val > 0 else 0.0
+            if ferr[j] < tol or h_val < tol:
+                converged = True
+                break
+        # back substitution on rotated H
+        k = n_out
+        y = np.zeros(m)
+        y[k - 1] = g[k - 1] / H[k - 1, k - 1]
+        for i in range(k - 2, -1, -1):
+            y[i] = (g[i] - H[i, i + 1 : k] @ y[i + 1 : k]) / H[i, i]
+        x = x + V[:m].T @ y
+        if converged or ferr[n_out - 1] < tol:
+            return x, n_out, st, ferr, V
+    return x, n_out, max_restarts, ferr, V
+
+
+def golden_gmres_householder(matvec, b, m, tol, max_restarts, m_inv=None):
+    """Restarted Householder (Walker '84) GMRES, explicit reflector
+    sweeps (the slow-but-simple formulation)."""
+    n = b.size
+    x = np.zeros_like(b)
+    beta0 = np.linalg.norm(b)
+
+    def fsign(a, bb):
+        return abs(a) if bb >= 0 else -abs(a)
+
+    for st in range(1, max_restarts + 1):
+        r = b - matvec(x)
+        w = m_inv(r) if m_inv else r
+        P = np.zeros((m + 1, n))
+        H = np.zeros((m + 1, m))
+        g = np.zeros(m + 1)
+        cs = np.zeros(m)
+        sn = np.zeros(m)
+        beta = np.linalg.norm(w)
+        s = fsign(beta, w[0])
+        g[0] = -s
+        u = w.copy()
+        u[0] += s
+        P[0] = u / np.linalg.norm(u)
+        ferr = np.zeros(m)
+        n_out = 0
+        converged = False
+        for j in range(m):
+            n_out = j + 1
+            v = np.zeros(n)
+            v[j] = 1.0
+            for i in range(j, -1, -1):
+                v -= 2.0 * P[i] * (v @ P[i])
+            z = matvec(v)
+            w = m_inv(z) if m_inv else z
+            for i in range(j + 1):
+                w -= 2.0 * P[i] * (w @ P[i])
+            col = np.zeros(m + 1)
+            col[: j + 1] = w[: j + 1]
+            tmp = np.linalg.norm(w[j + 1 :])
+            col[j + 1] = -tmp if w[j + 1] > 0 else tmp
+            h_val = tmp
+            u = w.copy()
+            u[: j + 1] = 0.0
+            u[j + 1] -= col[j + 1]
+            un = np.linalg.norm(u)
+            if un > 0:
+                P[j + 1] = u / un
+            col = _apply_givens(cs, sn, col, j)
+            ds = np.hypot(col[j + 1], col[j])
+            cs[j] = col[j] / ds
+            sn[j] = col[j + 1] / ds
+            col[j] = cs[j] * col[j] + sn[j] * col[j + 1]
+            col[j + 1] = 0.0
+            H[:, j] = col
+            tmp = g[j]
+            g[j] = cs[j] * tmp + sn[j] * g[j + 1]
+            g[j + 1] = -sn[j] * tmp + cs[j] * g[j + 1]
+            ferr[j] = abs(g[j + 1]) / beta0
+            if ferr[j] < tol:
+                converged = True
+                break
+        k = n_out
+        y = np.zeros(m)
+        y[k - 1] = g[k - 1] / H[k - 1, k - 1]
+        for i in range(k - 2, -1, -1):
+            y[i] = (g[i] - H[i, i + 1 : k] @ y[i + 1 : k]) / H[i, i]
+        w = np.zeros(n)
+        w[:k] = y[:k]
+        for i in range(k - 1, -1, -1):
+            w -= 2.0 * P[i] * (P[i] @ w)
+        x = x + w
+        if converged or ferr[n_out - 1] < tol:
+            return x, n_out, st, ferr, P
+    return x, n_out, max_restarts, ferr, P

@@ -1,0 +1,81 @@
+"""Model-problem correctness: dense assembly ↔ matrix-free stencil
+equivalence (the reference validates this only by eyeballing solver
+output; here it is exact)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmres_tpu.models.convection_diffusion import (
+    convection_diffusion_apply,
+    convection_diffusion_matrix,
+)
+from gmres_tpu.models.hilbert import hilbert_matrix
+from gmres_tpu.models.poisson import poisson_apply, poisson_matrix
+
+
+@pytest.mark.parametrize("nsize", [4, 7, 16])
+def test_poisson_dense_vs_stencil(nsize):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((nsize, nsize))
+    a = poisson_matrix(nsize)
+    dense = (a @ x.reshape(-1)).reshape(nsize, nsize)
+    mf = poisson_apply(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mf), dense, rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_poisson_flat_input():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(36)
+    y2d = poisson_apply(jnp.asarray(x).reshape(6, 6)).reshape(-1)
+    y1d = poisson_apply(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y1d), np.asarray(y2d))
+
+
+def test_poisson_matrix_structure():
+    a = np.asarray(poisson_matrix(3))
+    assert a.shape == (9, 9)
+    assert np.all(np.diag(a) == 4.0)
+    np.testing.assert_allclose(a, a.T)  # symmetric
+    # eigenvalues in (0, 8)
+    w = np.linalg.eigvalsh(a)
+    assert w[0] > 0 and w[-1] < 8.0
+
+
+def test_hilbert_values():
+    h = np.asarray(hilbert_matrix(4))
+    assert h[0, 0] == 1.0
+    assert h[0, 1] == 0.5
+    np.testing.assert_allclose(h[2, 3], 1.0 / 6.0)
+    np.testing.assert_allclose(h, h.T)
+
+
+def test_hilbert_reference_rounding():
+    h64 = np.asarray(hilbert_matrix(12))
+    h32 = np.asarray(hilbert_matrix(12, reference_rounding=True))
+    assert h64.dtype == np.float64 and h32.dtype == np.float64
+    # single-precision rounding visible but tiny
+    assert 0 < np.max(np.abs(h64 - h32)) < 1e-7
+
+
+@pytest.mark.parametrize("gx,gy", [(0.0, 0.0), (0.4, 0.2), (-0.3, 0.7)])
+def test_convection_diffusion_dense_vs_stencil(gx, gy):
+    nsize = 6
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((nsize, nsize))
+    a = convection_diffusion_matrix(nsize, gx, gy)
+    dense = (np.asarray(a) @ x.reshape(-1)).reshape(nsize, nsize)
+    mf = convection_diffusion_apply(jnp.asarray(x), gx, gy)
+    np.testing.assert_allclose(np.asarray(mf), dense, rtol=1e-13, atol=1e-13)
+
+
+def test_convection_diffusion_nonsymmetric():
+    a = np.asarray(convection_diffusion_matrix(5, 0.4, 0.2))
+    assert not np.allclose(a, a.T)
+
+
+def test_convection_diffusion_zero_gamma_is_poisson():
+    a = np.asarray(convection_diffusion_matrix(5, 0.0, 0.0))
+    p = np.asarray(poisson_matrix(5))
+    np.testing.assert_allclose(a, p)
