@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Headline benchmark (BASELINE.md north star): time-to-residual 1e-8
+and nnz/s for Chebyshev-preconditioned GMRES(m) on a 90,000-variable
+(300×300) 2-D Poisson system, matrix-free — the reference's flagship
+``test_mfp`` configuration (tests/test_poisson_mf.f90) at production
+tolerance.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": ...}
+
+vs_baseline: the reference publishes no numbers and gfortran is not
+available in this image (BASELINE.md), so the baseline is a vectorized
+NumPy CPU implementation of the same Householder GMRES algorithm
+(sequential reflector sweeps, matrix-free stencil) — the closest
+runnable stand-in for the Fortran reference's compute pattern.
+vs_baseline = baseline_time / our_time (higher is better).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+import gmres_tpu as gt  # noqa: E402
+
+
+def numpy_stencil(x, n):
+    """5-point Laplacian on a flat C-order vector (NumPy)."""
+    g = x.reshape(n, n)
+    y = 4.0 * g
+    y[1:, :] -= g[:-1, :]
+    y[:-1, :] -= g[1:, :]
+    y[:, 1:] -= g[:, :-1]
+    y[:, :-1] -= g[:, 1:]
+    return y.reshape(-1)
+
+
+def numpy_hh_gmres(n, m, tol, max_restarts=1000):
+    """Householder GMRES + order-2 Chebyshev, NumPy CPU baseline.
+    Same algorithm/convergence semantics as the JAX implementation
+    (and the Fortran reference): sequential reflector sweeps."""
+    nn = n * n
+    b = numpy_stencil(np.ones(nn), n)
+    d = (8.2 + 0.2) / 2.0
+    alpha_c = 1.0 / d
+    beta_c = ((8.2 - 0.2) / 2.0 * alpha_c / 2.0) ** 2
+    alpha_c = 1.0 / (d - beta_c)
+
+    def m_inv(r):
+        z = r / d
+        return z + alpha_c * (r - numpy_stencil(z, n))
+
+    def fsign(a, bb):
+        return abs(a) if bb >= 0 else -abs(a)
+
+    x = np.zeros(nn)
+    beta0 = np.linalg.norm(b)
+    total_inner = 0
+    for st in range(1, max_restarts + 1):
+        r = b - numpy_stencil(x, n)
+        w = m_inv(r)
+        P = np.zeros((m + 1, nn))
+        H = np.zeros((m + 1, m))
+        g = np.zeros(m + 1)
+        cs = np.zeros(m)
+        sn = np.zeros(m)
+        beta = np.linalg.norm(w)
+        s = fsign(beta, w[0])
+        g[0] = -s
+        u = w.copy()
+        u[0] += s
+        P[0] = u / np.linalg.norm(u)
+        n_out = 0
+        converged = False
+        for j in range(m):
+            n_out = j + 1
+            total_inner += 1
+            v = np.zeros(nn)
+            v[j] = 1.0
+            for i in range(j, -1, -1):
+                v -= 2.0 * P[i] * (v @ P[i])
+            w = m_inv(numpy_stencil(v, n))
+            for i in range(j + 1):
+                w -= 2.0 * P[i] * (w @ P[i])
+            col = np.zeros(m + 1)
+            col[: j + 1] = w[: j + 1]
+            tmp = np.linalg.norm(w[j + 1 :])
+            col[j + 1] = -tmp if w[j + 1] > 0 else tmp
+            u = w.copy()
+            u[: j + 1] = 0.0
+            u[j + 1] -= col[j + 1]
+            un = np.linalg.norm(u)
+            if un > 0:
+                P[j + 1] = u / un
+            for i in range(j):
+                t = col[i]
+                col[i] = cs[i] * t + sn[i] * col[i + 1]
+                col[i + 1] = -sn[i] * t + cs[i] * col[i + 1]
+            ds = np.hypot(col[j + 1], col[j])
+            cs[j] = col[j] / ds
+            sn[j] = col[j + 1] / ds
+            col[j] = cs[j] * col[j] + sn[j] * col[j + 1]
+            col[j + 1] = 0.0
+            H[:, j] = col
+            t = g[j]
+            g[j] = cs[j] * t + sn[j] * g[j + 1]
+            g[j + 1] = -sn[j] * t + cs[j] * g[j + 1]
+            if abs(g[j + 1]) / beta0 < tol:
+                converged = True
+                break
+        k = n_out
+        y = np.zeros(m)
+        y[k - 1] = g[k - 1] / H[k - 1, k - 1]
+        for i in range(k - 2, -1, -1):
+            y[i] = (g[i] - H[i, i + 1 : k] @ y[i + 1 : k]) / H[i, i]
+        w = np.zeros(nn)
+        w[:k] = y[:k]
+        for i in range(k - 1, -1, -1):
+            w -= 2.0 * P[i] * (P[i] @ w)
+        x = x + w
+        if converged:
+            return x, total_inner, st
+    return x, total_inner, max_restarts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nsize", type=int, default=300)
+    ap.add_argument("--m", type=int, default=50)
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument(
+        "--precision", choices=["mixed", "f64"], default="mixed",
+        help="mixed = f32 Arnoldi cycles with f64 outer residuals "
+        "(GMRES-IR); convergence is certified by the f64 true residual "
+        "either way",
+    )
+    args = ap.parse_args()
+
+    nsize, m, tol = args.nsize, args.m, args.tol
+    op = gt.poisson_operator(nsize)
+    m_inv = gt.chebyshev_preconditioner(op, 0.2, 8.2)
+    b = op(jnp.ones((nsize, nsize), dtype=jnp.float64))
+
+    inner_dtype = jnp.float32 if args.precision == "mixed" else None
+    solve = jax.jit(
+        lambda bb: gt.gmres(
+            op, bb, restart=m, tol=tol, M=m_inv,
+            variant="householder", compute_v_err=False,
+            inner_dtype=inner_dtype,
+        )
+    )
+    # Sync via a scalar that depends on the whole computation:
+    # block_until_ready does not actually block on the axon tunnel, and
+    # transferring the full solution would measure tunnel bandwidth.
+    res = solve(b)
+    float(res.residual)  # compile + warm
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        res = solve(b)
+        float(res.residual)
+        times.append(time.perf_counter() - t0)
+    t_ours = min(times)
+
+    restarts = int(res.restarts)
+    total_inner = (restarts - 1) * m + int(res.iterations)
+    # 2 stencil applications per inner iteration (A + the
+    # preconditioner's A) + 2 per restart setup.
+    stencil_apps = 2 * total_inner + 2 * restarts
+    nnz = 5 * nsize * nsize - 4 * nsize
+    nnz_per_s = stencil_apps * nnz / t_ours
+
+    if args.skip_baseline:
+        t_base = float("nan")
+    else:
+        t0 = time.perf_counter()
+        _, base_inner, base_restarts = numpy_hh_gmres(nsize, m, tol)
+        t_base = time.perf_counter() - t0
+        print(
+            f"# baseline: numpy cpu {t_base:.2f}s "
+            f"({base_inner} inner iters, {base_restarts} restarts)",
+            file=sys.stderr,
+        )
+
+    print(
+        f"# ours: {t_ours:.3f}s on {jax.devices()[0].platform} "
+        f"({total_inner} inner iters, {restarts} restarts, "
+        f"status={int(res.status)}, resid={float(res.residual):.2e}, "
+        f"nnz/s={nnz_per_s:.3e})",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": f"time_to_rel_residual_1e-8_gmres_hh_cheb_poisson_90k_{args.precision}",
+        "value": round(t_ours, 4),
+        "unit": "s",
+        "vs_baseline": round(t_base / t_ours, 2) if t_base == t_base else None,
+        "nnz_per_s": round(nnz_per_s, 1),
+        "inner_iterations": total_inner,
+        "restarts": restarts,
+        "converged": bool(res.status == 0),
+        "baseline": "numpy-cpu same algorithm (no published reference numbers; gfortran unavailable)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

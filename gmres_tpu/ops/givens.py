@@ -28,15 +28,22 @@ class GivensState(NamedTuple):
     omega: (m+1, m+1) product G_{t-1}···G_0 of all rotations so far.
     g: (m+1,) rotated rhs; |g[t+1]| is the running residual norm
        (gmres_hh.f90:85: final_err(j) = abs(g(j+1))/beta0).
+    beta0: the ‖b‖ normalizer for relative residuals (gmres_hh.f90:237).
     """
 
     omega: jnp.ndarray
     g: jnp.ndarray
+    beta0: jnp.ndarray
 
 
-def givens_init(m: int, g0: jnp.ndarray) -> GivensState:
+def givens_init(m: int, g0: jnp.ndarray, beta0=None) -> GivensState:
     """Fresh state for a restart cycle; g0 is the initial (m+1,) rhs."""
-    return GivensState(omega=jnp.eye(m + 1, dtype=g0.dtype), g=g0)
+    if beta0 is None:
+        beta0 = jnp.ones((), dtype=g0.dtype)
+    return GivensState(
+        omega=jnp.eye(m + 1, dtype=g0.dtype), g=g0,
+        beta0=jnp.asarray(beta0, dtype=g0.dtype),
+    )
 
 
 def givens_step(state: GivensState, hcol: jnp.ndarray, t) -> tuple[
@@ -49,7 +56,7 @@ def givens_step(state: GivensState, hcol: jnp.ndarray, t) -> tuple[
     rotated_column is upper-triangular (zeros below t) and
     residual_component = g[t+1] after the new rotation.
     """
-    omega, g = state
+    omega, g, beta0 = state
     hrot = omega @ hcol  # apply all previous rotations at once
 
     ct = hrot[t]
@@ -76,4 +83,4 @@ def givens_step(state: GivensState, hcol: jnp.ndarray, t) -> tuple[
     gt1 = g[t + 1]
     g = g.at[t].set(cs * gt + sn * gt1).at[t + 1].set(-sn * gt + cs * gt1)
 
-    return GivensState(omega=omega, g=g), col, g[t + 1]
+    return GivensState(omega=omega, g=g, beta0=beta0), col, g[t + 1]

@@ -1,5 +1,6 @@
 """Restarted GMRES(m) with Householder (Walker '84) and MGS-with-
-reorthogonalization Arnoldi variants.
+reorthogonalization Arnoldi variants, plus TPU mixed-precision
+iterative-refinement mode.
 
 Reference: ``src/gmres_hh.f90`` (Householder: dense 10-112, omp 211-385,
 preconditioned omp 388-566) and ``src/gmres_mgsr.f90`` (MGSR: dense
@@ -20,7 +21,17 @@ of the same algorithms:
   deliberate trade documented in SURVEY §3.2).
 * Givens least-squares updates on a replicated accumulated-rotation
   matrix (ops/givens.py); back-substitution via a masked static
-  triangular solve (ops/tri.py).
+  triangular solve (ops/tri.py). The small-matrix state (H, g, Ω, y)
+  is always kept in the outer dtype.
+* **Mixed precision (``inner_dtype=float32``)**: TPUs have no native
+  f64 — emulated f64 matvecs measured ~15-20× slower than f32 on
+  v5e. Restarted GMRES *is* iterative refinement: each cycle solves a
+  correction equation, and the restart recomputes the true residual.
+  So the basis work of each cycle runs in f32 (native-speed matmuls)
+  while residuals, Hessenberg/Givens state, and solution updates stay
+  f64; convergence is certified ONLY by the f64 true residual at
+  restart boundaries (Carson-Higham GMRES-IR). Reaches the same 1e-8
+  relative residual as pure f64 at a fraction of the time.
 * Convergence: relative residual |g(j+1)|/β₀ with β₀ = ‖b‖ (x₀ = 0),
   gmres_hh.f90:237,339; lucky-breakdown exit on h_val < tol
   (gmres_mgsr.f90:69). `check_inner=False` reproduces the reference
@@ -28,7 +39,8 @@ of the same algorithms:
   (gmres_hh.f90:340-344, SURVEY §7 quirk 2).
 * Orthogonality audits reproduce each variant's own metric
   (calculate_verr gmres_hh.f90:568-593; the cumulative sqrt chain
-  gmres_mgsr.f90:414-420).
+  gmres_mgsr.f90:414-420). In mixed mode the audit reflects the f32
+  basis (≈1e-14 floor instead of 1e-28).
 """
 
 from __future__ import annotations
@@ -56,7 +68,8 @@ def _as_operator(A) -> LinearOperator:
     a callable operator."""
     if isinstance(A, jnp.ndarray):
         mat = A
-        return lambda v: mat @ v
+        return lambda v: (mat.astype(v.dtype) @ v if v.dtype != mat.dtype
+                          else mat @ v)
     return A
 
 
@@ -93,14 +106,130 @@ def _mgs_pass(v_basis: jnp.ndarray, w: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# Shared small-matrix epilogue per restart: back-substitute + status.
+# Orthogonality audits.
 # ---------------------------------------------------------------------------
 
 
-def _gmres_common(b, m, dtype):
-    beta0 = jnp.sqrt(tree_vdot(b, b)).astype(dtype)
-    final_err = jnp.zeros((m,), dtype=dtype)
-    return beta0, final_err
+def _v_err_mgsr(gram: jnp.ndarray, n_out, dtype) -> jnp.ndarray:
+    """Cumulative orthogonality chain of gmres_mgsr.f90:414-420:
+    v_err(j+1)² = v_err(j)² + Σ_{i≤j} 2(Vi·V_{j+1})² + ((V_{j+1}·V_{j+1})−1)²."""
+    mp1 = gram.shape[0]
+    rows = jnp.arange(mp1)[:, None]
+    cols = jnp.arange(mp1)[None, :]
+    off = jnp.where(cols < rows, gram**2, 0.0)
+    a = 2.0 * jnp.sum(off, axis=1) + (jnp.diagonal(gram) - 1.0) ** 2
+    active = (jnp.arange(mp1) >= 1) & (jnp.arange(mp1) <= n_out)
+    a = jnp.where(active, a, 0.0)
+    return jnp.sqrt(jnp.cumsum(a)).astype(dtype) * active.astype(dtype)
+
+
+def _v_err_householder(gram: jnp.ndarray, n_out, dtype) -> jnp.ndarray:
+    """v_err(i) = Σ_{j<i} 2(Vi·Vj)², i = 2..n_iter (calculate_verr,
+    gmres_hh.f90:587-591). Returned (m+1,) with reference indexing
+    (entry r ↔ Fortran v_err(r+1))."""
+    mm = gram.shape[0]
+    rows = jnp.arange(mm)[:, None]
+    cols = jnp.arange(mm)[None, :]
+    off = jnp.where(cols < rows, gram**2, 0.0)
+    v = 2.0 * jnp.sum(off, axis=1)
+    active = jnp.arange(mm) < n_out
+    v = jnp.where(active, v, 0.0)
+    return jnp.concatenate([v, jnp.zeros((1,), dtype=dtype)]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Unified restarted driver.
+#
+# Each restart: (1) start from the preconditioned true residual w, β —
+# computed in the OUTER dtype by the previous iteration (or the prologue);
+# (2) run one Arnoldi cycle in the WORK dtype; (3) update x in the outer
+# dtype; (4) compute the next true residual and decide convergence —
+# from the inner Givens estimate in pure mode (reference semantics,
+# gmres_hh.f90:563) or from the f64 true residual in mixed mode.
+# ---------------------------------------------------------------------------
+
+
+def _restarted(
+    cycle: Callable,
+    A: LinearOperator,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    m: int,
+    tol: float,
+    max_restarts: int,
+    M: Optional[Preconditioner],
+    mixed: bool,
+    breakdown_check: bool,
+    basis_init,
+):
+    dtype = b.dtype
+    beta0 = jnp.sqrt(tree_vdot(b, b))
+    tiny = jnp.finfo(dtype).tiny
+
+    def true_residual(x):
+        r = b - A(x)
+        w = M(r) if M is not None else r
+        return w, jnp.sqrt(tree_vdot(w, w))
+
+    w_init, beta_init = true_residual(x0)
+    rel_init = beta_init / jnp.maximum(beta0, tiny)
+    converged0 = (beta0 == 0) | (rel_init < tol)
+
+    def cond(carry):
+        _, k, _, _, converged, breakdown, *_ = carry
+        return (k < max_restarts) & (~converged) & (~breakdown)
+
+    def body(carry):
+        x, k, w, beta, _, _, _, _, _ = carry
+        x_new, n_out, ferr, h_val, basis = cycle(x, w, beta, beta0)
+        w_new, beta_new = true_residual(x_new)
+        if mixed:
+            rel_true = beta_new / jnp.maximum(beta0, tiny)
+            converged = rel_true < tol
+        else:
+            # Reference semantics: trust the inner Givens estimate
+            # (gmres_hh.f90:563, gmres_mgsr.f90:409).
+            converged = ferr[jnp.maximum(n_out - 1, 0)] < tol
+        breakdown = (
+            (h_val < tol) if breakdown_check else jnp.array(False)
+        )
+        breakdown = breakdown & (~converged)
+        return (x_new, k + 1, w_new, beta_new, converged, breakdown,
+                n_out, ferr, basis)
+
+    carry0 = (
+        x0,
+        jnp.int32(0),
+        w_init,
+        beta_init,
+        converged0,
+        jnp.array(False),
+        jnp.int32(0),
+        jnp.zeros((m,), dtype=dtype),
+        basis_init,
+    )
+    x, k, _, beta_last, converged, breakdown, n_out, ferr, basis = (
+        jax.lax.while_loop(cond, body, carry0)
+    )
+    status = jnp.where(
+        converged,
+        jnp.int32(SolverStatus.CONVERGED),
+        jnp.where(
+            breakdown,
+            jnp.int32(SolverStatus.BREAKDOWN),
+            jnp.int32(SolverStatus.MAX_ITERATIONS),
+        ),
+    )
+    if mixed:
+        # The inner estimate is not trustworthy below f32 resolution —
+        # report the true relative residual.
+        residual = beta_last / jnp.maximum(beta0, tiny)
+    else:
+        residual = jnp.where(
+            k > 0, ferr[jnp.maximum(n_out - 1, 0)],
+            beta_last / jnp.maximum(beta0, tiny),
+        )
+    return x, k, n_out, ferr, basis, status, residual
 
 
 # ---------------------------------------------------------------------------
@@ -119,134 +248,111 @@ def _gmres_mgsr(
     orthogonalization: str,
     check_inner: bool,
     compute_v_err: bool,
+    work_dtype,
 ) -> GmresResult:
     dtype = b.dtype
     shape = b.shape
-    beta0, final_err0 = _gmres_common(b, m, dtype)
+    mixed = work_dtype != dtype
     ortho = _cgs_pass if orthogonalization == "cgs2" else _mgs_pass
+    # In mixed mode the inner estimate below ~ε_work of the cycle-start
+    # residual no longer tracks the true residual — stop the cycle there.
+    inner_gain = float(jnp.finfo(work_dtype).eps) * 10.0
 
     def inner_cond(st):
         (t, *_), converged = st[0], st[1]
         return (t < m) & (~converged)
 
-    def inner_body(st):
-        (t, v_basis, hmat, giv, w_prev, h_val_prev, n_out, ferr), _ = st
-        v_t = jax.lax.dynamic_index_in_dim(v_basis, t, axis=0, keepdims=False)
-        z = A(v_t)
-        w = M(z) if M is not None else z
-        # MGS/CGS run exactly twice with H accumulation
-        # (gmres_mgsr.f90:343 `do k=1,2`).
-        h1, w = ortho(v_basis, w)
-        h2, w = ortho(v_basis, w)
-        hcol = h1 + h2
-        h_val = jnp.sqrt(tree_vdot(w, w))
-        hcol = hcol.at[t + 1].set(h_val)
-        giv, col, g_next = givens_step(giv, hcol, t)
-        hmat = jax.lax.dynamic_update_slice(
-            hmat, col[:, None], (jnp.zeros((), t.dtype), t)
-        )
-        rel = jnp.abs(g_next) / beta0
-        ferr = ferr.at[t].set(rel)
-        # V(:,j+1) is written unconditionally, matching gmres_mgsr_omp
-        # (gmres_mgsr.f90:384 before the convergence check).
-        v_new = w / jnp.where(h_val > 0, h_val, 1.0)
-        v_basis = jax.lax.dynamic_update_slice(
-            v_basis, v_new[None],
-            (t + 1,) + (jnp.zeros((), t.dtype),) * len(shape)
-        )
-        if check_inner:
-            converged = (rel < tol) | (h_val < tol)
-        else:
-            converged = jnp.array(False)
-        return (
-            (t + 1, v_basis, hmat, giv, w, h_val, t + 1, ferr),
-            converged,
-        )
+    def make_inner_body(inner_floor):
+        def inner_body(st):
+            (t, v_basis, hmat, giv, h_val_prev, n_out, ferr), _ = st
+            v_t = jax.lax.dynamic_index_in_dim(
+                v_basis, t, axis=0, keepdims=False
+            )
+            z = A(v_t)
+            w = M(z) if M is not None else z
+            # MGS/CGS run exactly twice with H accumulation
+            # (gmres_mgsr.f90:343 `do k=1,2`).
+            h1, w = ortho(v_basis, w)
+            h2, w = ortho(v_basis, w)
+            h_val = jnp.sqrt(tree_vdot(w, w))
+            hcol = (h1 + h2).astype(dtype).at[t + 1].set(
+                h_val.astype(dtype)
+            )
+            giv, col, g_next = givens_step(giv, hcol, t)
+            hmat = jax.lax.dynamic_update_slice(
+                hmat, col[:, None], (jnp.zeros((), t.dtype), t)
+            )
+            rel = jnp.abs(g_next) / giv.beta0
+            ferr = ferr.at[t].set(rel)
+            # V(:,j+1) is written unconditionally, matching
+            # gmres_mgsr_omp (gmres_mgsr.f90:384).
+            v_new = w / jnp.where(h_val > 0, h_val, 1.0)
+            v_basis = v_basis.at[t + 1].set(v_new)
+            if check_inner or mixed:
+                converged = (rel < inner_floor) | (
+                    h_val.astype(dtype) < tol
+                )
+            else:
+                converged = jnp.array(False)
+            return (
+                (t + 1, v_basis, hmat, giv, h_val.astype(dtype), t + 1,
+                 ferr),
+                converged,
+            )
 
-    def restart_body(carry):
-        x, k, _, _, _, _ = carry
-        ax = A(x)
-        z = b - ax
-        w = M(z) if M is not None else z
-        beta = jnp.sqrt(tree_vdot(w, w))
-        v_basis = jnp.zeros((m + 1,) + shape, dtype=dtype)
-        v_basis = v_basis.at[0].set(w / jnp.where(beta > 0, beta, 1.0))
+        return inner_body
+
+    def cycle(x, w, beta, beta0):
+        w_work = (w / jnp.where(beta > 0, beta, 1.0)).astype(work_dtype)
+        v_basis = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
+        v_basis = v_basis.at[0].set(w_work)
         g0 = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
         giv = givens_init(m, g0)
+        giv = giv._replace(beta0=beta0)
         hmat = jnp.zeros((m + 1, m), dtype=dtype)
         ferr = jnp.zeros((m,), dtype=dtype)
+        if mixed:
+            inner_floor = jnp.maximum(
+                jnp.asarray(tol, dtype), (beta / beta0) * inner_gain
+            )
+        else:
+            inner_floor = jnp.asarray(tol, dtype)
 
         st0 = (
-            (jnp.int32(0), v_basis, hmat, giv, w, beta, jnp.int32(0), ferr),
+            (jnp.int32(0), v_basis, hmat, giv, beta, jnp.int32(0), ferr),
             jnp.array(False),
         )
-        (t, v_basis, hmat, giv, w, h_val, n_out, ferr), _ = (
-            jax.lax.while_loop(inner_cond, inner_body, st0)
+        (t, v_basis, hmat, giv, h_val, n_out, ferr), _ = (
+            jax.lax.while_loop(
+                inner_cond, make_inner_body(inner_floor), st0
+            )
         )
-
         y = masked_back_substitution(hmat, giv.g, n_out)
         # x += Σ y_r V_r : one matmul over the basis
         # (gmres_mgsr.f90:400-406).
-        x = x + jnp.tensordot(y, v_basis[:m], axes=(0, 0))
-        rel = ferr[jnp.maximum(n_out - 1, 0)]
-        converged = rel < tol
-        breakdown = h_val < tol
-        return (x, k + 1, converged, breakdown, n_out, (ferr, v_basis))
+        dx = jnp.tensordot(
+            y.astype(work_dtype), v_basis[:m], axes=(0, 0)
+        )
+        x = x + dx.astype(dtype)
+        return x, n_out, ferr, h_val, v_basis
 
-    def restart_cond(carry):
-        _, k, converged, breakdown, _, _ = carry
-        return (k < max_restarts) & (~converged) & (~breakdown)
-
-    v0 = jnp.zeros((m + 1,) + shape, dtype=dtype)
-    carry = (
-        x0,
-        jnp.int32(0),
-        beta0 == 0,  # b = 0 → x = x0 is already exact
-        jnp.array(False),
-        jnp.int32(0),
-        (final_err0, v0),
-    )
-    x, k, converged, breakdown, n_out, (ferr, v_basis) = jax.lax.while_loop(
-        restart_cond, restart_body, carry
+    basis_init = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
+    x, k, n_out, ferr, v_basis, status, residual = _restarted(
+        cycle, A, b, x0, m, tol, max_restarts, M, mixed,
+        breakdown_check=True, basis_init=basis_init,
     )
 
     if compute_v_err:
         vf = v_basis.reshape(m + 1, -1)
-        v_err = _v_err_mgsr(vf @ vf.T, n_out, dtype)
+        gram = (vf @ vf.T).astype(dtype)
+        v_err = _v_err_mgsr(gram, n_out, dtype)
     else:
         v_err = jnp.zeros((m + 1,), dtype=dtype)
 
-    status = jnp.where(
-        converged,
-        jnp.int32(SolverStatus.CONVERGED),
-        jnp.where(
-            breakdown,
-            jnp.int32(SolverStatus.BREAKDOWN),
-            jnp.int32(SolverStatus.MAX_ITERATIONS),
-        ),
-    )
     return GmresResult(
-        x=x,
-        iterations=n_out,
-        restarts=k,
-        residual=ferr[jnp.maximum(n_out - 1, 0)],
-        status=status,
-        residual_history=ferr,
-        v_err=v_err,
+        x=x, iterations=n_out, restarts=k, residual=residual,
+        status=status, residual_history=ferr, v_err=v_err,
     )
-
-
-def _v_err_mgsr(gram: jnp.ndarray, n_out, dtype) -> jnp.ndarray:
-    """Cumulative orthogonality chain of gmres_mgsr.f90:414-420:
-    v_err(j+1)² = v_err(j)² + Σ_{i≤j} 2(Vi·V_{j+1})² + ((V_{j+1}·V_{j+1})−1)²."""
-    mp1 = gram.shape[0]
-    rows = jnp.arange(mp1)[:, None]
-    cols = jnp.arange(mp1)[None, :]
-    off = jnp.where(cols < rows, gram**2, 0.0)
-    a = 2.0 * jnp.sum(off, axis=1) + (jnp.diagonal(gram) - 1.0) ** 2
-    active = (jnp.arange(mp1) >= 1) & (jnp.arange(mp1) <= n_out)
-    a = jnp.where(active, a, 0.0)
-    return jnp.sqrt(jnp.cumsum(a)).astype(dtype) * active.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -265,168 +371,139 @@ def _gmres_householder(
     check_inner: bool,
     compute_v_err: bool,
     breakdown_check: bool,
+    work_dtype,
 ) -> GmresResult:
     dtype = b.dtype
     shape = b.shape
     n = b.size
-    beta0, final_err0 = _gmres_common(b, m, dtype)
+    mixed = work_dtype != dtype
     fidx = flat_iota(b)
+    inner_gain = float(jnp.finfo(work_dtype).eps) * 10.0
 
     def inner_cond(st):
         (t, *_), converged = st[0], st[1]
         return (t < m) & (~converged)
 
-    def inner_body(st):
-        (t, p_basis, t_mat, hmat, giv, h_val_prev, n_out, ferr), _ = st
-        # v_t = Q e_t  (reference: reflector sweep gmres_hh.f90:453-467;
-        # here: compact-WY, two matmuls + one all-reduce).
-        e_t = (fidx == t).astype(dtype)
-        v_t = wy.wy_apply(p_basis, t_mat, e_t)
-        z = A(v_t)
-        w = M(z) if M is not None else z
-        # w ← Qᵀ w (gmres_hh.f90:471-485).
-        w = wy.wy_apply_transpose(p_basis, t_mat, w)
+    def make_inner_body(inner_floor):
+        def inner_body(st):
+            (t, p_basis, t_mat, hmat, giv, h_val_prev, n_out, ferr), _ = st
+            # v_t = Q e_t (reference reflector sweep gmres_hh.f90:453-467
+            # → compact-WY: two matmuls + one all-reduce).
+            e_t = (fidx == t).astype(work_dtype)
+            v_t = wy.wy_apply(p_basis, t_mat, e_t)
+            z = A(v_t)
+            w = M(z) if M is not None else z
+            # w ← Qᵀ w (gmres_hh.f90:471-485).
+            w = wy.wy_apply_transpose(p_basis, t_mat, w)
 
-        # Hessenberg column: H[0:t+1, t] = w_flat[0:t+1]; H[t+1, t] from
-        # the tail norm with the Walker sign choice
-        # (gmres_hh.f90:487-502).
-        whead = jax.lax.slice(w.reshape(-1), (0,), (m + 1,))
-        w_t1 = whead[t + 1]
-        tail_sq = jnp.sum(jnp.where(fidx > t, w * w, 0.0))
-        tmp = jnp.sqrt(tail_sq)
-        h_sub = jnp.where(w_t1 > 0, -tmp, tmp)
-        h_val = tmp
-        idx = jnp.arange(m + 1)
-        hcol = jnp.where(idx <= t, whead, 0.0)
-        hcol = jnp.where(idx == t + 1, h_sub, hcol)
+            # Hessenberg column: H[0:t+1, t] = w_flat[0:t+1]; H[t+1, t]
+            # from the tail norm, Walker sign choice
+            # (gmres_hh.f90:487-502).
+            whead = jax.lax.slice(w.reshape(-1), (0,), (m + 1,))
+            w_t1 = whead[t + 1]
+            tail_sq = jnp.sum(jnp.where(fidx > t, w * w, 0.0))
+            tmp = jnp.sqrt(tail_sq)
+            h_sub = jnp.where(w_t1 > 0, -tmp, tmp)
+            h_val = tmp.astype(dtype)
+            idx = jnp.arange(m + 1)
+            hcol = jnp.where(idx <= t, whead, 0.0)
+            hcol = jnp.where(idx == t + 1, h_sub, hcol).astype(dtype)
 
-        # New reflector: zero prefix, subtract H(t+1,t) at position t+1,
-        # normalize (gmres_hh.f90:495-501). On lucky breakdown
-        # (unorm == 0) the appended reflector is the zero vector, which
-        # in compact-WY algebra contributes exactly nothing — Q is
-        # unchanged, no guard needed.
-        u = mask_ge(w, t + 1)
-        u = u - jnp.where(fidx == t + 1, h_sub, jnp.zeros_like(u))
-        unorm = jnp.sqrt(tree_vdot(u, u))
-        p_new = u / jnp.where(unorm > 0, unorm, 1.0)
-        p_basis, t_mat_new = wy.wy_append(p_basis, t_mat, p_new, t + 1)
+            # New reflector: zero prefix, subtract H(t+1,t) at position
+            # t+1, normalize (gmres_hh.f90:495-501). On lucky breakdown
+            # (unorm == 0) the appended reflector is the zero vector,
+            # which contributes exactly nothing in compact-WY algebra.
+            u = mask_ge(w, t + 1)
+            u = u - jnp.where(fidx == t + 1, h_sub, jnp.zeros_like(u))
+            unorm = jnp.sqrt(tree_vdot(u, u))
+            p_new = u / jnp.where(unorm > 0, unorm, 1.0)
+            p_basis, t_mat = wy.wy_append(p_basis, t_mat, p_new, t + 1)
 
-        giv, col, g_next = givens_step(giv, hcol, t)
-        hmat = jax.lax.dynamic_update_slice(
-            hmat, col[:, None], (jnp.zeros((), t.dtype), t)
-        )
-        rel = jnp.abs(g_next) / beta0
-        ferr = ferr.at[t].set(rel)
-        if check_inner:
-            converged = rel < tol
-            if breakdown_check:
-                converged = converged | (h_val < tol)
-        else:
-            converged = jnp.array(False)
-        return (
-            (t + 1, p_basis, t_mat_new, hmat, giv, h_val, t + 1, ferr),
-            converged,
-        )
+            giv, col, g_next = givens_step(giv, hcol, t)
+            hmat = jax.lax.dynamic_update_slice(
+                hmat, col[:, None], (jnp.zeros((), t.dtype), t)
+            )
+            rel = jnp.abs(g_next) / giv.beta0
+            ferr = ferr.at[t].set(rel)
+            if check_inner or mixed:
+                converged = rel < inner_floor
+                if breakdown_check:
+                    converged = converged | (h_val < tol)
+            else:
+                converged = jnp.array(False)
+            return (
+                (t + 1, p_basis, t_mat, hmat, giv, h_val, t + 1, ferr),
+                converged,
+            )
 
-    def restart_body(carry):
-        x, k, _, _, _, _ = carry
-        ax = A(x)
-        z = b - ax
-        w = M(z) if M is not None else z
+        return inner_body
+
+    def cycle(x, w, beta, beta0):
         # Initial reflector from w (gmres_hh.f90:433-436): g(1) =
         # −sign(β, w₁); w₁ += sign(β, w₁); P₁ = w/‖w‖.
-        beta = jnp.sqrt(tree_vdot(w, w))
         w0 = flat_get(w, 0)
         s = _fortran_sign(beta, w0)
         g0 = jnp.zeros((m + 1,), dtype=dtype).at[0].set(-s)
-        u = w + jnp.where(fidx == 0, s, jnp.zeros_like(w))
+        u = (w + jnp.where(fidx == 0, s, jnp.zeros_like(w))).astype(
+            work_dtype
+        )
         unorm = jnp.sqrt(tree_vdot(u, u))
-        p_basis = jnp.zeros((m + 1,) + shape, dtype=dtype)
+        p_basis = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
         p_basis = p_basis.at[0].set(u / jnp.where(unorm > 0, unorm, 1.0))
-        t_mat = jnp.zeros((m + 1, m + 1), dtype=dtype).at[0, 0].set(2.0)
+        t_mat = jnp.zeros((m + 1, m + 1), dtype=work_dtype)
+        t_mat = t_mat.at[0, 0].set(2.0)
         giv = givens_init(m, g0)
+        giv = giv._replace(beta0=beta0)
         hmat = jnp.zeros((m + 1, m), dtype=dtype)
         ferr = jnp.zeros((m,), dtype=dtype)
+        if mixed:
+            inner_floor = jnp.maximum(
+                jnp.asarray(tol, dtype), (beta / beta0) * inner_gain
+            )
+        else:
+            inner_floor = jnp.asarray(tol, dtype)
 
         st0 = (
-            (jnp.int32(0), p_basis, t_mat, hmat, giv, beta, jnp.int32(0),
-             ferr),
+            (jnp.int32(0), p_basis, t_mat, hmat, giv, beta,
+             jnp.int32(0), ferr),
             jnp.array(False),
         )
         (t, p_basis, t_mat, hmat, giv, h_val, n_out, ferr), _ = (
-            jax.lax.while_loop(inner_cond, inner_body, st0)
+            jax.lax.while_loop(
+                inner_cond, make_inner_body(inner_floor), st0
+            )
         )
 
         y = masked_back_substitution(hmat, giv.g, n_out)
         # Update direction: Q [y; 0] (gmres_hh.f90:537-558) — one
         # compact-WY application instead of n_out reflector sweeps.
-        yvec = jnp.zeros((n,), dtype=dtype).at[: m].set(y).reshape(shape)
+        yvec = (
+            jnp.zeros((n,), dtype=dtype).at[: m].set(y).reshape(shape)
+        ).astype(work_dtype)
         dx = wy.wy_apply(p_basis, t_mat, yvec)
-        x = x + dx
-        rel = ferr[jnp.maximum(n_out - 1, 0)]
-        converged = rel < tol
-        breakdown = jnp.array(False)
-        if breakdown_check:
-            breakdown = h_val < tol
-        return (x, k + 1, converged, breakdown, n_out,
-                (ferr, p_basis, t_mat))
+        x = x + dx.astype(dtype)
+        return x, n_out, ferr, h_val, (p_basis, t_mat)
 
-    def restart_cond(carry):
-        _, k, converged, breakdown, _, _ = carry
-        return (k < max_restarts) & (~converged) & (~breakdown)
-
-    p0 = jnp.zeros((m + 1,) + shape, dtype=dtype)
-    t0 = jnp.zeros((m + 1, m + 1), dtype=dtype)
-    carry = (
-        x0,
-        jnp.int32(0),
-        beta0 == 0,  # b = 0 → x = x0 is already exact
-        jnp.array(False),
-        jnp.int32(0),
-        (final_err0, p0, t0),
+    basis_init = (
+        jnp.zeros((m + 1,) + shape, dtype=work_dtype),
+        jnp.zeros((m + 1, m + 1), dtype=work_dtype),
     )
-    x, k, converged, breakdown, n_out, (ferr, p_basis, t_mat) = (
-        jax.lax.while_loop(restart_cond, restart_body, carry)
+    x, k, n_out, ferr, (p_basis, t_mat), status, residual = _restarted(
+        cycle, A, b, x0, m, tol, max_restarts, M, mixed,
+        breakdown_check=breakdown_check, basis_init=basis_init,
     )
 
     if compute_v_err:
         v = wy.wy_basis(p_basis, t_mat, m)  # (m, n)
-        v_err = _v_err_householder(v @ v.T, n_out, dtype)
+        gram = (v @ v.T).astype(dtype)
+        v_err = _v_err_householder(gram, n_out, dtype)
     else:
         v_err = jnp.zeros((m + 1,), dtype=dtype)
 
-    status = jnp.where(
-        converged,
-        jnp.int32(SolverStatus.CONVERGED),
-        jnp.where(
-            breakdown,
-            jnp.int32(SolverStatus.BREAKDOWN),
-            jnp.int32(SolverStatus.MAX_ITERATIONS),
-        ),
-    )
     return GmresResult(
-        x=x,
-        iterations=n_out,
-        restarts=k,
-        residual=ferr[jnp.maximum(n_out - 1, 0)],
-        status=status,
-        residual_history=ferr,
-        v_err=v_err,
+        x=x, iterations=n_out, restarts=k, residual=residual,
+        status=status, residual_history=ferr, v_err=v_err,
     )
-
-
-def _v_err_householder(gram: jnp.ndarray, n_out, dtype) -> jnp.ndarray:
-    """v_err(i) = Σ_{j<i} 2(Vi·Vj)², i = 2..n_iter (calculate_verr,
-    gmres_hh.f90:587-591). Returned (m+1,) with reference indexing
-    (entry r ↔ Fortran v_err(r+1))."""
-    mm = gram.shape[0]
-    rows = jnp.arange(mm)[:, None]
-    cols = jnp.arange(mm)[None, :]
-    off = jnp.where(cols < rows, gram**2, 0.0)
-    v = 2.0 * jnp.sum(off, axis=1)
-    active = jnp.arange(mm) < n_out
-    v = jnp.where(active, v, 0.0)
-    return jnp.concatenate([v, jnp.zeros((1,), dtype=dtype)]).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -447,6 +524,7 @@ def gmres(
     check_inner: bool = True,
     compute_v_err: bool = True,
     breakdown_check: bool = True,
+    inner_dtype=None,
     x0: Optional[jnp.ndarray] = None,
 ) -> GmresResult:
     """Solve A x = b with restarted GMRES(restart).
@@ -471,6 +549,11 @@ def gmres(
       breakdown_check: exit on lucky breakdown h_val < tol
         (gmres_mgsr.f90:69; gmres_hh_prec_omp omits it — set False for
         exact parity with that routine).
+      inner_dtype: dtype for the Arnoldi-cycle basis work. None = same
+        as b (reference-faithful). jnp.float32 with f64 b enables the
+        mixed-precision iterative-refinement fast path: convergence is
+        then certified by the f64 true residual at restart boundaries,
+        NOT the inner estimate — same 1e-8 answer, TPU-native speed.
       x0: initial guess, defaults to zeros (all reference drivers use 0).
     """
     op = _as_operator(A)
@@ -481,16 +564,20 @@ def gmres(
     restart = min(restart, b.size - 1)
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    work_dtype = jnp.dtype(inner_dtype) if inner_dtype is not None \
+        else b.dtype
     if variant == "householder":
         return _gmres_householder(
             op, b, x0, restart, tol, max_restarts, M,
-            check_inner, compute_v_err, breakdown_check,
+            check_inner, compute_v_err, breakdown_check, work_dtype,
         )
     elif variant == "mgsr":
         if orthogonalization not in ("cgs2", "mgs2"):
-            raise ValueError(f"unknown orthogonalization {orthogonalization}")
+            raise ValueError(
+                f"unknown orthogonalization {orthogonalization}"
+            )
         return _gmres_mgsr(
             op, b, x0, restart, tol, max_restarts, M,
-            orthogonalization, check_inner, compute_v_err,
+            orthogonalization, check_inner, compute_v_err, work_dtype,
         )
     raise ValueError(f"unknown variant {variant}")
