@@ -43,6 +43,19 @@ from gmres_tpu.models.convection_diffusion import (
     convection_diffusion_apply,
     convection_diffusion_operator,
 )
+from gmres_tpu.ops.sparse import (
+    BSRMatrix,
+    COOMatrix,
+    CSRMatrix,
+    ELLMatrix,
+    bsr_from_dense,
+    coo_from_dense,
+    csr_from_dense,
+    csr_to_ell,
+    ell_from_dense,
+    poisson_csr,
+    sparse_operator,
+)
 
 __all__ = [
     "SolveResult",
@@ -60,6 +73,17 @@ __all__ = [
     "hilbert_matrix",
     "convection_diffusion_apply",
     "convection_diffusion_operator",
+    "BSRMatrix",
+    "COOMatrix",
+    "CSRMatrix",
+    "ELLMatrix",
+    "bsr_from_dense",
+    "coo_from_dense",
+    "csr_from_dense",
+    "csr_to_ell",
+    "ell_from_dense",
+    "poisson_csr",
+    "sparse_operator",
 ]
 
 __version__ = "0.1.0"

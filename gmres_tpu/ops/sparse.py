@@ -1,0 +1,359 @@
+"""Sparse-matrix formats and SpMV for TPU.
+
+The reference has **no** sparse-matrix code at all — its only operator
+paths are the dense Fortran ``matmul`` (gmres_hh.f90:37,48) and the
+hand-written 5-point stencil (poisson.f90:33-77); SURVEY §2 C13 notes
+that CSR/COO SpMV is a build requirement beyond the reference
+(BASELINE.json north star). These are ground-up TPU designs:
+
+* **ELL (ELLPACK)** is the TPU-native general format: every row stores a
+  fixed ``k = max nnz/row`` of (value, column) pairs, padded with zeros.
+  Static shapes, one XLA gather + one dense reduction — no
+  data-dependent control flow, fully fusible, shards by rows.
+* **CSR** / **COO** use XLA ``segment_sum`` (sorted segments) — kept for
+  interop and for matrices whose row occupancy is too skewed for ELL.
+* **BSR (block-sparse rows)** with dense (bs × bs) blocks is the format
+  that actually feeds the MXU; its SpMV is a Pallas kernel
+  (``bsr_spmv_pallas``) that scalar-prefetches the block-column indices
+  so the x-block DMA for step j+1 is issued while block j multiplies.
+
+All containers are registered pytrees, so a sparse matrix can close
+over a ``LinearOperator`` and flow through ``jit`` untouched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _register(cls, data_fields, meta_fields):
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=meta_fields
+    )
+
+
+@functools.partial(
+    _register,
+    data_fields=["data", "indices", "indptr"],
+    meta_fields=["shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class CSRMatrix:
+    """Compressed sparse rows: data (nnz,), indices (nnz,) column ids,
+    indptr (nrows+1,) row offsets."""
+
+    data: jnp.ndarray
+    indices: jnp.ndarray
+    indptr: jnp.ndarray
+    shape: tuple
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+
+@functools.partial(
+    _register, data_fields=["data", "row", "col"], meta_fields=["shape"]
+)
+@dataclasses.dataclass(frozen=True)
+class COOMatrix:
+    """Coordinate format: data/row/col all (nnz,). Rows must be sorted
+    (ascending) for the segment-sum SpMV fast path."""
+
+    data: jnp.ndarray
+    row: jnp.ndarray
+    col: jnp.ndarray
+    shape: tuple
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+
+@functools.partial(
+    _register, data_fields=["data", "cols"], meta_fields=["shape"]
+)
+@dataclasses.dataclass(frozen=True)
+class ELLMatrix:
+    """ELLPACK: data (nrows, k), cols (nrows, k); padding entries have
+    value 0 and column 0 (they contribute nothing)."""
+
+    data: jnp.ndarray
+    cols: jnp.ndarray
+    shape: tuple
+
+    @property
+    def row_width(self) -> int:
+        return self.data.shape[1]
+
+
+@functools.partial(
+    _register, data_fields=["data", "block_cols"], meta_fields=["shape"]
+)
+@dataclasses.dataclass(frozen=True)
+class BSRMatrix:
+    """Block-sparse rows with dense (bs, bs) blocks in ELL layout:
+    data (n_block_rows, k, bs, bs), block_cols (n_block_rows, k) —
+    padding blocks are all-zero with block-column 0."""
+
+    data: jnp.ndarray
+    block_cols: jnp.ndarray
+    shape: tuple
+
+    @property
+    def block_size(self) -> int:
+        return self.data.shape[-1]
+
+
+# ---------------------------------------------------------------------------
+# Construction.
+# ---------------------------------------------------------------------------
+
+
+def csr_from_dense(a, tol: float = 0.0) -> CSRMatrix:
+    """Build CSR from a dense matrix (host-side; numpy)."""
+    a = np.asarray(a)
+    mask = np.abs(a) > tol
+    row_counts = mask.sum(axis=1)
+    indptr = np.zeros(a.shape[0] + 1, dtype=np.int32)
+    np.cumsum(row_counts, out=indptr[1:])
+    rows, cols = np.nonzero(mask)
+    return CSRMatrix(
+        data=jnp.asarray(a[rows, cols]),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        indptr=jnp.asarray(indptr),
+        shape=a.shape,
+    )
+
+
+def coo_from_dense(a, tol: float = 0.0) -> COOMatrix:
+    a = np.asarray(a)
+    rows, cols = np.nonzero(np.abs(a) > tol)  # row-major ⇒ rows sorted
+    return COOMatrix(
+        data=jnp.asarray(a[rows, cols]),
+        row=jnp.asarray(rows.astype(np.int32)),
+        col=jnp.asarray(cols.astype(np.int32)),
+        shape=a.shape,
+    )
+
+
+def ell_from_dense(a, tol: float = 0.0) -> ELLMatrix:
+    a = np.asarray(a)
+    mask = np.abs(a) > tol
+    k = max(int(mask.sum(axis=1).max()), 1)
+    nrows = a.shape[0]
+    data = np.zeros((nrows, k), dtype=a.dtype)
+    cols = np.zeros((nrows, k), dtype=np.int32)
+    for i in range(nrows):
+        (nz,) = np.nonzero(mask[i])
+        data[i, : nz.size] = a[i, nz]
+        cols[i, : nz.size] = nz
+    return ELLMatrix(
+        data=jnp.asarray(data), cols=jnp.asarray(cols), shape=a.shape
+    )
+
+
+def csr_to_ell(a: CSRMatrix, row_width: int | None = None) -> ELLMatrix:
+    """Repack CSR as ELL (host-side)."""
+    data = np.asarray(a.data)
+    indices = np.asarray(a.indices)
+    indptr = np.asarray(a.indptr)
+    counts = np.diff(indptr)
+    k = int(row_width if row_width is not None else max(counts.max(), 1))
+    nrows = a.shape[0]
+    out_d = np.zeros((nrows, k), dtype=data.dtype)
+    out_c = np.zeros((nrows, k), dtype=np.int32)
+    for i in range(nrows):
+        lo, hi = indptr[i], indptr[i + 1]
+        out_d[i, : hi - lo] = data[lo:hi]
+        out_c[i, : hi - lo] = indices[lo:hi]
+    return ELLMatrix(
+        data=jnp.asarray(out_d), cols=jnp.asarray(out_c), shape=a.shape
+    )
+
+
+def poisson_csr(nsize: int, dtype=jnp.float64) -> CSRMatrix:
+    """5-point Laplacian (poisson.f90:13-30 sparsity, C-order
+    flattening) assembled directly in CSR — never densified, so this
+    scales to the ≥90k-variable benchmark grids."""
+    n = nsize * nsize
+    idx = np.arange(n)
+    i, j = idx // nsize, idx % nsize
+    diags = []  # (offset, values, valid-mask)
+    diags.append((0, np.full(n, 4.0), np.ones(n, bool)))
+    diags.append((-nsize, np.full(n, -1.0), i > 0))
+    diags.append((-1, np.full(n, -1.0), j > 0))
+    diags.append((1, np.full(n, -1.0), j < nsize - 1))
+    diags.append((nsize, np.full(n, -1.0), i < nsize - 1))
+    rows, cols, vals = [], [], []
+    for off, v, m in diags:
+        rows.append(idx[m])
+        cols.append(idx[m] + off)
+        vals.append(v[m])
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return CSRMatrix(
+        data=jnp.asarray(vals, dtype=dtype),
+        indices=jnp.asarray(cols.astype(np.int32)),
+        indptr=jnp.asarray(indptr.astype(np.int32)),
+        shape=(n, n),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SpMV (jnp / XLA paths).
+# ---------------------------------------------------------------------------
+
+
+def csr_spmv(a: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x. Row ids are recovered from indptr with one
+    searchsorted (static shapes), then a sorted segment-sum — the XLA
+    pattern that lowers to a single scan-free reduction."""
+    rows = (
+        jnp.searchsorted(
+            a.indptr, jnp.arange(a.nnz, dtype=a.indptr.dtype), side="right"
+        )
+        - 1
+    )
+    prod = a.data * x.reshape(-1)[a.indices]
+    return jax.ops.segment_sum(
+        prod, rows, num_segments=a.shape[0], indices_are_sorted=True
+    )
+
+
+def coo_spmv(a: COOMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    prod = a.data * x.reshape(-1)[a.col]
+    return jax.ops.segment_sum(
+        prod, a.row, num_segments=a.shape[0], indices_are_sorted=True
+    )
+
+
+def ell_spmv(a: ELLMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x: one gather (nrows, k) + one dense row reduction.
+    The TPU-native general SpMV — everything static, no segments."""
+    return jnp.sum(a.data * x.reshape(-1)[a.cols], axis=1)
+
+
+def bsr_spmv(a: BSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """jnp reference path for BSR: gather x blocks, batched block
+    matvec (einsum → MXU), row-sum."""
+    bs = a.block_size
+    xb = x.reshape(-1, bs)  # (n_block_cols, bs)
+    gathered = xb[a.block_cols]  # (nbr, k, bs)
+    return jnp.einsum(
+        "rkab,rkb->ra", a.data, gathered,
+        preferred_element_type=x.dtype,
+    ).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BSR SpMV.
+#
+# Grid (n_block_rows, k): step (i, j) multiplies dense block (i, j)
+# against the x block selected by block_cols[i, j]. block_cols is a
+# scalar-prefetch operand, so its value drives the x BlockSpec index
+# map — Pallas double-buffers the x-block DMA against the previous
+# step's MXU work automatically.
+# ---------------------------------------------------------------------------
+
+
+def _bsr_kernel(cols_ref, d_ref, x_ref, o_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(
+        x_ref[:], d_ref[0, 0].T, preferred_element_type=o_ref.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bsr_spmv_pallas(
+    a: BSRMatrix, x: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Pallas TPU BSR SpMV. float32/bfloat16 blocks; block_size should
+    be a multiple of the lane width (128) for full MXU tiles."""
+    nbr, k, bs, _ = a.data.shape
+    xb = x.reshape(1, -1)  # (1, n) → blocks of (1, bs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbr, k),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bs, bs),
+                lambda i, j, cols: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bs),
+                lambda i, j, cols: (0, cols[i, j]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bs), lambda i, j, cols: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _bsr_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, nbr * bs), x.dtype),
+        interpret=interpret,
+    )(a.block_cols, a.data, xb)
+    return out.reshape(-1)
+
+
+def bsr_from_dense(a, block_size: int, tol: float = 0.0) -> BSRMatrix:
+    """Blocked ELL from dense (host-side). Rows/cols must divide by
+    block_size; a block is kept if any entry is nonzero."""
+    a = np.asarray(a)
+    bs = block_size
+    nbr, nbc = a.shape[0] // bs, a.shape[1] // bs
+    blocks = a.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
+    occupied = np.abs(blocks).max(axis=(2, 3)) > tol  # (nbr, nbc)
+    k = max(int(occupied.sum(axis=1).max()), 1)
+    data = np.zeros((nbr, k, bs, bs), dtype=a.dtype)
+    cols = np.zeros((nbr, k), dtype=np.int32)
+    for i in range(nbr):
+        (nz,) = np.nonzero(occupied[i])
+        data[i, : nz.size] = blocks[i, nz]
+        cols[i, : nz.size] = nz
+    return BSRMatrix(
+        data=jnp.asarray(data), block_cols=jnp.asarray(cols), shape=a.shape
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operator adapters.
+# ---------------------------------------------------------------------------
+
+
+def sparse_operator(a) -> Callable:
+    """Wrap any sparse container as a LinearOperator closure (the
+    same inversion-of-control contract as the stencil operators,
+    interfaces.f90:12-18)."""
+    if isinstance(a, CSRMatrix):
+        return lambda x: csr_spmv(a, x)
+    if isinstance(a, COOMatrix):
+        return lambda x: coo_spmv(a, x)
+    if isinstance(a, ELLMatrix):
+        return lambda x: ell_spmv(a, x)
+    if isinstance(a, BSRMatrix):
+        return lambda x: bsr_spmv(a, x)
+    raise TypeError(f"not a sparse matrix: {type(a)}")
