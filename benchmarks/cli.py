@@ -1,0 +1,426 @@
+"""Driver programs for every reference benchmark, as one CLI.
+
+The reference ships 8 standalone Fortran programs (SURVEY §4); each has
+a subcommand here with the same problem configuration, plus the
+BASELINE.md additions (convection-diffusion BiCGSTAB, true weak
+scaling, SpMV throughput):
+
+  dense-poisson   ← tests/test_poisson.f90  (test_dp): dense MGSR vs HH
+  hilbert         ← tests/test_hilbert.f90: orthogonality A/B at n, m
+  poisson-mf      ← tests/test_poisson_mf.f90 (test_mfp): Chebyshev-
+                    preconditioned HH vs MGSR, matrix-free (flagship)
+  cg              ← tests/test_cg.f90: PCG grid sweep 300²..1000², 1e-9
+  bicgstab        ← tests/test_bicgstab.f90: same sweep
+  strong-scaling  ← tests/strong_scaling.f90: fixed grid, device count
+                    1..D (the OpenMP thread sweep, chips instead)
+  restart-sweep   ← tests/weak_scaling.f90 (misnamed there — it sweeps
+                    the restart parameter m; SURVEY §7 quirk 4)
+  weak-scaling    ← the true weak scaling the reference commented out
+                    (weak_scaling.f90:60): grid grows with device count
+  convdiff        ← BASELINE.md config 3: BiCGSTAB on nonsymmetric 2-D
+                    convection-diffusion
+  spmv            ← nnz/s throughput of the stencil + sparse formats
+
+Usage: python -m benchmarks.cli <subcommand> [options]
+Every subcommand prints the reference-style table (utils.f90 column
+set) and can mirror rows to JSONL via --jsonl PATH.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from typing import Callable, Optional
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import gmres_tpu as gt  # noqa: E402
+from gmres_tpu.parallel.halo import halo_poisson_operator  # noqa: E402
+from gmres_tpu.parallel.mesh import (  # noqa: E402
+    shard_grid_vector,
+    solver_mesh,
+)
+from gmres_tpu.utils.reporting import (  # noqa: E402
+    RunRecord,
+    print_table,
+    record_from_result,
+    write_jsonl,
+)
+
+# Chebyshev eigenvalue bounds every reference driver hardcodes
+# (test_poisson_mf.f90:38 params=(8.2, 0.2); SURVEY §7 quirk 3).
+REF_EIG = (0.2, 8.2)
+
+
+def _timed(fn: Callable, *args):
+    """Compile once, then time one execution (compilation excluded —
+    the reference's omp_get_wtime wraps only the solve,
+    test_poisson_mf.f90:44-46)."""
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(*args))
+    return out, time.perf_counter() - t0
+
+
+def _emit(records, args):
+    print_table(records)
+    if getattr(args, "jsonl", None):
+        write_jsonl(records, args.jsonl, append=True)
+
+
+def _grid_range(spec: str):
+    """'300:1000:50' → [300, 350, ..., 1000]."""
+    lo, hi, step = (int(v) for v in spec.split(":"))
+    return list(range(lo, hi + 1, step))
+
+
+# ---------------------------------------------------------------------------
+# Subcommands.
+# ---------------------------------------------------------------------------
+
+
+def cmd_dense_poisson(args):
+    n, m = args.nsize, args.restart
+    a = gt.poisson_matrix(n)
+    b = a @ jnp.ones(n * n)
+    records = []
+    for variant in ("mgsr", "householder"):
+        fn = jax.jit(
+            lambda bb, v=variant: gt.gmres(
+                a, bb, restart=m, tol=args.tol, variant=v,
+                max_restarts=args.max_restarts,
+            )
+        )
+        res, dt = _timed(fn, b)
+        records.append(
+            record_from_result(
+                f"gmres-{variant}-dense", res, x_true=jnp.ones(n * n),
+                wall_s=dt, tol=args.tol, nnz=(n * n) ** 2,
+            )
+        )
+    _emit(records, args)
+
+
+def cmd_hilbert(args):
+    n, m = args.n, args.restart
+    a = gt.hilbert_matrix(n)
+    b = a @ jnp.ones(n)
+    records = []
+    for variant in ("mgsr", "householder"):
+        fn = jax.jit(
+            lambda bb, v=variant: gt.gmres(
+                a, bb, restart=m, tol=args.tol, variant=v,
+                max_restarts=1,
+            )
+        )
+        res, dt = _timed(fn, b)
+        records.append(
+            record_from_result(
+                f"gmres-{variant}-hilbert", res, x_true=jnp.ones(n),
+                wall_s=dt, tol=args.tol,
+            )
+        )
+    _emit(records, args)
+
+
+def cmd_poisson_mf(args):
+    n, m = args.nsize, args.restart
+    op = gt.poisson_operator(n)
+    m_inv = gt.chebyshev_preconditioner(op, *REF_EIG)
+    b = op(jnp.ones((n, n)))
+    inner = jnp.float32 if args.mixed else None
+    records = []
+    for variant in ("householder", "mgsr"):
+        fn = jax.jit(
+            lambda bb, v=variant: gt.gmres(
+                op, bb, restart=m, tol=args.tol, M=m_inv, variant=v,
+                max_restarts=args.max_restarts, inner_dtype=inner,
+                compute_v_err=not args.no_v_err,
+            )
+        )
+        res, dt = _timed(fn, b)
+        iters = int(res.restarts) * m + int(res.iterations)
+        records.append(
+            record_from_result(
+                f"gmres-{variant}-mf{'-f32' if args.mixed else ''}",
+                res, x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
+                nnz=5 * n * n,
+                extra={"matvecs": 2 * iters, "total_iters": iters},
+            )
+        )
+    _emit(records, args)
+
+
+def _sweep(args, solver_name: str):
+    records = []
+    for n in _grid_range(args.grids):
+        op = gt.poisson_operator(n)
+        m_inv = gt.chebyshev_preconditioner(op, *REF_EIG)
+        b = op(jnp.ones((n, n)))
+        solver = gt.cg if solver_name == "cg" else gt.bicgstab
+        fn = jax.jit(
+            lambda bb, o=op, mi=m_inv, s=solver: s(
+                o, bb, tol=args.tol, max_iterations=args.max_iterations,
+                M=mi,
+            )
+        )
+        res, dt = _timed(fn, b)
+        matvecs_per_iter = 2 if solver_name == "cg" else 4
+        records.append(
+            record_from_result(
+                f"p{solver_name}-{n}x{n}", res,
+                x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
+                nnz=5 * n * n,
+                extra={
+                    "matvecs": matvecs_per_iter * int(res.iterations)
+                },
+            )
+        )
+    _emit(records, args)
+
+
+def cmd_cg(args):
+    _sweep(args, "cg")
+
+
+def cmd_bicgstab(args):
+    _sweep(args, "bicgstab")
+
+
+def cmd_convdiff(args):
+    n = args.nsize
+    op = gt.convection_diffusion_operator(n, args.gamma_x, args.gamma_y)
+    b = op(jnp.ones((n, n)))
+    fn = jax.jit(
+        lambda bb: gt.bicgstab(
+            op, bb, tol=args.tol, max_iterations=args.max_iterations
+        )
+    )
+    res, dt = _timed(fn, b)
+    _emit(
+        [
+            record_from_result(
+                f"bicgstab-convdiff-{n}x{n}", res,
+                x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
+                nnz=5 * n * n,
+                extra={"matvecs": 2 * int(res.iterations)},
+            )
+        ],
+        args,
+    )
+
+
+def cmd_strong_scaling(args):
+    """Fixed grid, growing device count (the reference sweeps OpenMP
+    threads 1..6, strong_scaling.f90:44-45)."""
+    n, m = args.nsize, args.restart
+    records = []
+    base_t = None
+    max_d = args.max_devices or len(jax.devices())
+    counts = [d for d in range(1, max_d + 1) if n % d == 0]
+    for d in counts:
+        mesh = solver_mesh(d)
+        op = halo_poisson_operator(mesh) if args.explicit_halo \
+            else gt.poisson_operator(n)
+        m_inv = gt.chebyshev_preconditioner(op, *REF_EIG)
+        b = shard_grid_vector(
+            gt.poisson_apply(jnp.ones((n, n))), mesh
+        )
+        fn = jax.jit(
+            lambda bb, o=op, mi=m_inv: gt.gmres(
+                o, bb, restart=m, tol=args.tol, M=mi, variant="mgsr",
+                max_restarts=args.max_restarts, compute_v_err=False,
+            )
+        )
+        res, dt = _timed(fn, b)
+        base_t = base_t or dt
+        records.append(
+            record_from_result(
+                f"gmres-mgsr-{d}dev", res, wall_s=dt, tol=args.tol,
+                nnz=5 * n * n,
+                extra={
+                    "devices": d,
+                    "speedup": base_t / dt,
+                    "efficiency": base_t / dt / d,
+                },
+            )
+        )
+    _emit(records, args)
+
+
+def cmd_weak_scaling(args):
+    """True weak scaling: rows grow with device count (the line the
+    reference commented out, weak_scaling.f90:60)."""
+    m = args.restart
+    records = []
+    base = None
+    max_d = args.max_devices or len(jax.devices())
+    d = 1
+    while d <= max_d:
+        n = args.nsize_per_device * d
+        mesh = solver_mesh(d)
+        op = halo_poisson_operator(mesh) if args.explicit_halo \
+            else gt.poisson_operator(n)
+        m_inv = gt.chebyshev_preconditioner(op, *REF_EIG)
+        b = shard_grid_vector(gt.poisson_apply(jnp.ones((n, n))), mesh)
+        fn = jax.jit(
+            lambda bb, o=op, mi=m_inv: gt.gmres(
+                o, bb, restart=m, tol=args.tol, M=mi, variant="mgsr",
+                max_restarts=args.max_restarts, compute_v_err=False,
+            )
+        )
+        res, dt = _timed(fn, b)
+        iters = int(res.restarts) * m + int(res.iterations)
+        per_iter = dt / max(iters, 1)
+        base = base or per_iter
+        records.append(
+            record_from_result(
+                f"gmres-mgsr-{d}dev-{n}x{n}", res, wall_s=dt,
+                tol=args.tol, nnz=5 * n * n,
+                extra={
+                    "devices": d,
+                    "time_per_iter": per_iter,
+                    "weak_efficiency": base / per_iter,
+                },
+            )
+        )
+        d *= 2
+    _emit(records, args)
+
+
+def cmd_restart_sweep(args):
+    """The reference's 'weak_scaling' program is actually this: fixed
+    grid, m = start, start+step, ... (weak_scaling.f90:24,61)."""
+    n = args.nsize
+    op = gt.poisson_operator(n)
+    m_inv = gt.chebyshev_preconditioner(op, *REF_EIG)
+    b = op(jnp.ones((n, n)))
+    records = []
+    for i in range(args.ntests):
+        m = args.start + i * args.step
+        fn = jax.jit(
+            lambda bb, mm=m: gt.gmres(
+                op, bb, restart=mm, tol=args.tol, M=m_inv,
+                variant="householder",
+                max_restarts=args.max_restarts, compute_v_err=False,
+            )
+        )
+        res, dt = _timed(fn, b)
+        records.append(
+            record_from_result(
+                f"gmres-hh-m{m}", res, x_true=jnp.ones((n, n)),
+                wall_s=dt, tol=args.tol, nnz=5 * n * n,
+                extra={"restart_m": m},
+            )
+        )
+    _emit(records, args)
+
+
+def cmd_spmv(args):
+    """nnz/s throughput: stencil (jnp + Pallas f32) and sparse formats
+    on the Poisson matrix (the BASELINE.json north-star metric)."""
+    from gmres_tpu.ops import sparse as sp
+    from gmres_tpu.ops.stencil import stencil_5pt_apply, stencil_5pt_pallas
+
+    n = args.nsize
+    nnz = 5 * n * n - 4 * n  # interior 5, boundary truncated
+    rng = np.random.default_rng(0)
+    records = []
+
+    def bench(name, fn, x, reps=args.reps):
+        fn_j = jax.jit(fn)
+        jax.block_until_ready(fn_j(x))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn_j(x)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / reps
+        records.append(
+            RunRecord(
+                name=name, nvars=n * n, iterations=1, wall_s=dt,
+                nnz=nnz, extra={"matvecs": 1, "gnnz_per_s": nnz / dt / 1e9},
+            )
+        )
+
+    xg64 = jnp.asarray(rng.standard_normal((n, n)))
+    xg32 = xg64.astype(jnp.float32)
+    bench("stencil-jnp-f64", stencil_5pt_apply, xg64)
+    bench("stencil-jnp-f32", stencil_5pt_apply, xg32)
+    if jax.default_backend() == "tpu" and n <= 1024:
+        bench("stencil-pallas-f32",
+              lambda x: stencil_5pt_pallas(x), xg32)
+    if not args.skip_sparse:
+        csr = sp.poisson_csr(n)
+        ell = sp.csr_to_ell(csr)
+        xf = xg64.reshape(-1)
+        bench("csr-segsum-f64", lambda x, a=csr: sp.csr_spmv(a, x), xf)
+        bench("ell-gather-f64", lambda x, a=ell: sp.ell_spmv(a, x), xf)
+        ell32 = sp.ELLMatrix(
+            data=ell.data.astype(jnp.float32), cols=ell.cols,
+            shape=ell.shape,
+        )
+        bench("ell-gather-f32", lambda x, a=ell32: sp.ell_spmv(a, x),
+              xg32.reshape(-1))
+    _emit(records, args)
+
+
+# ---------------------------------------------------------------------------
+# Parser.
+# ---------------------------------------------------------------------------
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gmres-tpu-bench", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--jsonl", help="append rows to this JSONL file")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, fn, **defaults):
+        sp_ = sub.add_parser(name)
+        sp_.set_defaults(func=fn)
+        sp_.add_argument("--jsonl")
+        for k, v in defaults.items():
+            flag = "--" + k.replace("_", "-")
+            if isinstance(v, bool):
+                sp_.add_argument(flag, action="store_true")
+            else:
+                sp_.add_argument(flag, type=type(v), default=v)
+        return sp_
+
+    add("dense-poisson", cmd_dense_poisson, nsize=16, restart=30,
+        tol=1e-15, max_restarts=1000)
+    add("hilbert", cmd_hilbert, n=12, restart=90, tol=1e-15)
+    add("poisson-mf", cmd_poisson_mf, nsize=300, restart=50, tol=1e-15,
+        max_restarts=1000, mixed=False, no_v_err=False)
+    add("cg", cmd_cg, grids="300:1000:50", tol=1e-9,
+        max_iterations=10_000)
+    add("bicgstab", cmd_bicgstab, grids="300:1000:50", tol=1e-9,
+        max_iterations=10_000)
+    add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
+        tol=1e-9, max_iterations=10_000)
+    add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
+        tol=1e-15, max_restarts=1000, max_devices=0,
+        explicit_halo=False)
+    add("weak-scaling", cmd_weak_scaling, nsize_per_device=128,
+        restart=50, tol=1e-12, max_restarts=1000, max_devices=0,
+        explicit_halo=False)
+    add("restart-sweep", cmd_restart_sweep, nsize=280, start=20, step=5,
+        ntests=10, tol=1e-15, max_restarts=1000)
+    add("spmv", cmd_spmv, nsize=512, reps=20, skip_sparse=False)
+    return p
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

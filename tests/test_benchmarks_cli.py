@@ -1,0 +1,54 @@
+"""Smoke tests for the driver CLI (SURVEY §4: one subcommand per
+reference program). Tiny sizes — correctness of the underlying solvers
+is covered elsewhere; here we check each driver runs, prints the table,
+and emits JSONL."""
+
+import json
+
+import pytest
+
+from benchmarks.cli import main
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["dense-poisson", "--nsize", "8", "--restart", "20",
+         "--tol", "1e-12"],
+        ["hilbert", "--n", "8", "--restart", "8", "--tol", "1e-14"],
+        ["poisson-mf", "--nsize", "24", "--restart", "20",
+         "--tol", "1e-10", "--no-v-err"],
+        ["cg", "--grids", "16:24:8", "--tol", "1e-8"],
+        ["bicgstab", "--grids", "16:16:8", "--tol", "1e-8"],
+        ["convdiff", "--nsize", "16", "--tol", "1e-8"],
+        ["strong-scaling", "--nsize", "16", "--restart", "10",
+         "--tol", "1e-8", "--max-devices", "4", "--max-restarts", "200"],
+        ["strong-scaling", "--nsize", "16", "--restart", "10",
+         "--tol", "1e-8", "--max-devices", "2", "--explicit-halo",
+         "--max-restarts", "200"],
+        ["weak-scaling", "--nsize-per-device", "8", "--restart", "10",
+         "--tol", "1e-8", "--max-devices", "2", "--max-restarts", "200"],
+        ["restart-sweep", "--nsize", "16", "--start", "5", "--step", "5",
+         "--ntests", "2", "--tol", "1e-8"],
+        ["spmv", "--nsize", "32", "--reps", "2"],
+    ],
+)
+def test_cli_smoke(argv, capsys):
+    main(argv)
+    out = capsys.readouterr().out
+    assert "solver" in out  # header printed
+    if argv[0] == "spmv":
+        assert "stencil-jnp-f64" in out
+    else:
+        assert "e-" in out or "e+" in out  # scientific cells present
+
+
+def test_cli_jsonl(tmp_path, capsys):
+    path = tmp_path / "rows.jsonl"
+    main(["hilbert", "--n", "8", "--restart", "8", "--jsonl", str(path)])
+    capsys.readouterr()
+    rows = [json.loads(l) for l in path.read_text().splitlines()]
+    assert len(rows) == 2
+    assert {r["name"] for r in rows} == {
+        "gmres-mgsr-hilbert", "gmres-householder-hilbert"
+    }
