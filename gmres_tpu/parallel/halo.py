@@ -124,3 +124,42 @@ def halo_poisson_operator(
     return halo_stencil_operator(
         mesh, LAPLACE_COEFS, use_pallas=use_pallas, interpret=interpret
     )
+
+
+def halo_chebyshev_preconditioner(
+    mesh: Mesh,
+    lam_min: float,
+    lam_max: float,
+    coefs=LAPLACE_COEFS,
+    axis: str = GRID_AXIS,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Callable:
+    """Distributed degree-2 Chebyshev preconditioner, fused: one halo
+    exchange + ONE pass producing z = r/d + α(r − A(r)/d) — the three
+    loops of cbpr2 (chebyshev.f90:27-37) collapsed (see
+    ops/fused.py:chebyshev_poisson_fused for the linearity argument).
+    """
+    from gmres_tpu.ops.fused import (
+        chebyshev_poisson_fused,
+        chebyshev_ref_scalars,
+    )
+
+    d, alpha = chebyshev_ref_scalars(lam_min, lam_max)
+    spec = P(axis, None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=spec, out_specs=spec,
+        check_vma=not use_pallas,
+    )
+    def m_inv(r_blk):
+        top, bottom = halo_exchange(r_blk, axis)
+        if use_pallas and r_blk.dtype in (jnp.float32, jnp.bfloat16):
+            return chebyshev_poisson_fused(
+                r_blk, top, bottom, d, alpha, coefs,
+                interpret=interpret,
+            )
+        ar = _local_stencil_overlapped(r_blk, top, bottom, coefs)
+        return r_blk / d + alpha * (r_blk - ar / d)
+
+    return m_inv
