@@ -194,6 +194,10 @@ def _restarted(
             (h_val < tol) if breakdown_check else jnp.array(False)
         )
         breakdown = breakdown & (~converged)
+        # NaN/Inf escaping the operator or preconditioner must not run
+        # silently to max_restarts (the reference's non-convergence is
+        # silent — SURVEY §7 quirk 1).
+        breakdown = breakdown | ~jnp.isfinite(beta_new)
         return (x_new, k + 1, w_new, beta_new, converged, breakdown,
                 n_out, ferr, basis)
 
@@ -268,12 +272,14 @@ def _gmres_mgsr(
             v_t = jax.lax.dynamic_index_in_dim(
                 v_basis, t, axis=0, keepdims=False
             )
-            z = A(v_t)
-            w = M(z) if M is not None else z
+            with jax.named_scope("gmres.spmv"):
+                z = A(v_t)
+                w = M(z) if M is not None else z
             # MGS/CGS run exactly twice with H accumulation
             # (gmres_mgsr.f90:343 `do k=1,2`).
-            h1, w = ortho(v_basis, w)
-            h2, w = ortho(v_basis, w)
+            with jax.named_scope("gmres.orthogonalize"):
+                h1, w = ortho(v_basis, w)
+                h2, w = ortho(v_basis, w)
             h_val = jnp.sqrt(tree_vdot(w, w))
             hcol = (h1 + h2).astype(dtype).at[t + 1].set(
                 h_val.astype(dtype)
@@ -389,12 +395,15 @@ def _gmres_householder(
             (t, p_basis, t_mat, hmat, giv, h_val_prev, n_out, ferr), _ = st
             # v_t = Q e_t (reference reflector sweep gmres_hh.f90:453-467
             # → compact-WY: two matmuls + one all-reduce).
-            e_t = (fidx == t).astype(work_dtype)
-            v_t = wy.wy_apply(p_basis, t_mat, e_t)
-            z = A(v_t)
-            w = M(z) if M is not None else z
+            with jax.named_scope("gmres.basis_vector"):
+                e_t = (fidx == t).astype(work_dtype)
+                v_t = wy.wy_apply(p_basis, t_mat, e_t)
+            with jax.named_scope("gmres.spmv"):
+                z = A(v_t)
+                w = M(z) if M is not None else z
             # w ← Qᵀ w (gmres_hh.f90:471-485).
-            w = wy.wy_apply_transpose(p_basis, t_mat, w)
+            with jax.named_scope("gmres.orthogonalize"):
+                w = wy.wy_apply_transpose(p_basis, t_mat, w)
 
             # Hessenberg column: H[0:t+1, t] = w_flat[0:t+1]; H[t+1, t]
             # from the tail norm, Walker sign choice
