@@ -162,8 +162,14 @@ def main():
     nsize, tol = args.nsize, args.tol
     op = gt.poisson_operator(nsize)
     if args.config == "tuned":
+        from gmres_tpu.precond.chebyshev import (
+            chebyshev_stencil_preconditioner,
+        )
+
         m = args.m or 20
-        m_inv = gt.chebyshev_preconditioner(op, 0.005, 8.0, order=64)
+        # VMEM-resident fused order-64 application on the f32 (inner)
+        # route; jnp recurrence on the f64 outer-residual route.
+        m_inv = chebyshev_stencil_preconditioner(0.005, 8.0, order=64)
         cheb_apps = 64  # stencil applications per M application
     else:
         m = args.m or 50

@@ -157,6 +157,95 @@ def chebyshev_poisson_fused(
     )(scal, r, top, bottom)
 
 
+# ---------------------------------------------------------------------------
+# Order-k Chebyshev semi-iteration, fully VMEM-resident.
+#
+# The deep-polynomial preconditioner (the tuned headline config) applies
+# k stencil sweeps per preconditioning. Done in jnp, every sweep is an
+# HBM read+write; done here, the grid is loaded into VMEM ONCE and all
+# k sweeps run on-chip: HBM traffic drops from 2k·n² to 2·n² words.
+# The ρ recurrence is data-independent, so the per-step coefficients
+# are precomputed host-side and passed through SMEM.
+# ---------------------------------------------------------------------------
+
+
+def _local_stencil(x, top, bottom, c0, cw, ce, cs, cn):
+    up = jnp.concatenate([top, x[:-1, :]], axis=0)
+    down = jnp.concatenate([x[1:, :], bottom], axis=0)
+    left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+    return c0 * x + cw * left + ce * right + cs * up + cn * down
+
+
+def _chebk_kernel(order: int):
+    def kernel(scal_ref, rho_ref, r_ref, z_ref, d_scr):
+        theta = scal_ref[0]
+        two_over_delta = scal_ref[1]
+        c0, cw, ce, cs, cn = (scal_ref[2], scal_ref[3], scal_ref[4],
+                              scal_ref[5], scal_ref[6])
+        r = r_ref[:]
+        zero = jnp.zeros((1, r.shape[1]), dtype=r.dtype)
+        d_scr[:] = r / theta
+        z_ref[:] = d_scr[:]
+        for step in range(order - 1):
+            az = _local_stencil(z_ref[:], zero, zero, c0, cw, ce, cs, cn)
+            # rho_ref[2*step] = ρ_{new}·ρ_{old}; [2*step+1] = 2ρ_{new}/δ
+            d_scr[:] = (rho_ref[2 * step] * d_scr[:]
+                        + rho_ref[2 * step + 1] * (r - az))
+            z_ref[:] = z_ref[:] + d_scr[:]
+
+    return kernel
+
+
+def chebyshev_k_scalars(lam_min: float, lam_max: float, order: int):
+    """Host-side precompute of the semi-iteration coefficients:
+    returns (theta, delta, [ρ'ρ, 2ρ'/δ] per step)."""
+    lo, hi = sorted((float(lam_min), float(lam_max)))
+    theta = (hi + lo) / 2.0
+    delta = (hi - lo) / 2.0
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    steps = []
+    for _ in range(order - 1):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        steps.extend([rho_new * rho, 2.0 * rho_new / delta])
+        rho = rho_new
+    return theta, delta, steps
+
+
+@functools.partial(
+    jax.jit, static_argnames=("order", "lam_min", "lam_max", "coefs",
+                              "interpret")
+)
+def chebyshev_k_poisson_pallas(
+    r: jnp.ndarray,
+    order: int,
+    lam_min: float,
+    lam_max: float,
+    coefs=(4.0, -1.0, -1.0, -1.0, -1.0),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """z ≈ A⁻¹r by the order-k Chebyshev semi-iteration, all k stencil
+    sweeps VMEM-resident (single chip / single shard, Dirichlet zero
+    halos). Grid + two scratch buffers must fit VMEM: f32 N ≲ 800."""
+    theta, _, steps = chebyshev_k_scalars(lam_min, lam_max, order)
+    _, delta, _ = chebyshev_k_scalars(lam_min, lam_max, order)
+    scal = jnp.asarray([theta, 2.0 / delta, *coefs], dtype=r.dtype)
+    rho = jnp.asarray(steps if steps else [0.0], dtype=r.dtype)
+    return pl.pallas_call(
+        _chebk_kernel(order),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+        scratch_shapes=[pltpu.VMEM(r.shape, r.dtype)],
+        interpret=interpret,
+    )(scal, rho, r)
+
+
 def chebyshev_ref_scalars(lam_min: float, lam_max: float):
     """(d, α) of the reference's cbpr2 closed form
     (chebyshev.f90:20-25)."""

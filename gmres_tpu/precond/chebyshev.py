@@ -80,6 +80,58 @@ def chebyshev_preconditioner(
     return m_inv
 
 
+def chebyshev_stencil_preconditioner(
+    lam_min: float,
+    lam_max: float,
+    order: int = 2,
+    coefs=(4.0, -1.0, -1.0, -1.0, -1.0),
+    use_pallas: str = "auto",
+) -> Preconditioner:
+    """Chebyshev preconditioner specialized to a 5-point stencil
+    operator, with a fully VMEM-resident Pallas fast path
+    (ops/fused.py:chebyshev_k_poisson_pallas): all ``order`` stencil
+    sweeps run on-chip, so HBM traffic is 2·n² words instead of
+    2·order·n².
+
+    use_pallas: "auto" (f32/bf16 on TPU with the grid small enough for
+    VMEM), "never", or "always" (testing). The f64 route — including
+    the outer true-residual applications of mixed-precision GMRES-IR —
+    always takes the jnp recurrence (Mosaic has no f64 path).
+    """
+    import jax
+
+    from gmres_tpu.models.poisson import poisson_operator  # noqa: F401
+    from gmres_tpu.ops.fused import chebyshev_k_poisson_pallas
+    from gmres_tpu.ops.stencil import stencil_5pt_general
+
+    lo, hi = sorted((float(lam_min), float(lam_max)))
+    a_jnp = lambda x: stencil_5pt_general(x, *coefs)  # noqa: E731
+    jnp_form = chebyshev_preconditioner(
+        a_jnp, lo, hi, order=order,
+        reference_form=(order == 2),
+    )
+    if use_pallas == "never":
+        return jnp_form
+
+    def m_inv(r):
+        pallas_ok = (
+            r.dtype in (jnp.float32, jnp.bfloat16)
+            and r.ndim == 2
+            # grid + 2 scratch buffers within a conservative VMEM cap
+            and 3 * r.size * r.dtype.itemsize <= 8 * 2**20
+            and jax.default_backend() == "tpu"
+        )
+        if pallas_ok or use_pallas == "always":
+            return chebyshev_k_poisson_pallas(
+                r, order, lo, hi, tuple(coefs),
+                interpret=(use_pallas == "always"
+                           and jax.default_backend() != "tpu"),
+            )
+        return jnp_form(r)
+
+    return m_inv
+
+
 def chebyshev_from_lanczos(
     A: LinearOperator,
     probe: jnp.ndarray,

@@ -1,0 +1,67 @@
+"""Order-k VMEM-resident Chebyshev kernel vs the jnp recurrence, and
+the auto-dispatching stencil preconditioner wrapper."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gmres_tpu as gt
+from gmres_tpu.ops.fused import (
+    chebyshev_k_poisson_pallas,
+    chebyshev_k_scalars,
+)
+from gmres_tpu.precond.chebyshev import chebyshev_stencil_preconditioner
+
+
+@pytest.mark.parametrize("order", [2, 4, 16, 64])
+def test_chebk_pallas_matches_jnp(order):
+    n = 32
+    r = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, n)).astype(np.float32)
+    )
+    op = gt.poisson_operator(n)
+    z_ref = gt.chebyshev_preconditioner(
+        op, 0.005, 8.0, order=order, reference_form=False
+    )(r.astype(jnp.float64))
+    z = chebyshev_k_poisson_pallas(r, order, 0.005, 8.0, interpret=True)
+    rel = float(jnp.max(jnp.abs(z - z_ref)) / jnp.max(jnp.abs(z_ref)))
+    assert rel < 5e-4
+
+
+def test_chebk_scalars_shape():
+    theta, delta, steps = chebyshev_k_scalars(0.2, 8.2, 8)
+    assert theta == pytest.approx(4.2)
+    assert delta == pytest.approx(4.0)
+    assert len(steps) == 2 * 7
+
+
+def test_wrapper_f64_route_matches_general_recurrence():
+    n = 24
+    r = jnp.asarray(np.random.default_rng(1).standard_normal((n, n)))
+    m = chebyshev_stencil_preconditioner(0.005, 8.0, order=8)
+    z_ref = gt.chebyshev_preconditioner(
+        gt.poisson_operator(n), 0.005, 8.0, order=8, reference_form=False
+    )(r)
+    np.testing.assert_allclose(m(r), z_ref, rtol=1e-12)
+
+
+def test_wrapper_order2_matches_reference_form():
+    """order=2 must keep exact cbpr2 semantics (chebyshev.f90:20-37)."""
+    n = 16
+    r = jnp.asarray(np.random.default_rng(2).standard_normal((n, n)))
+    m = chebyshev_stencil_preconditioner(0.2, 8.2, order=2,
+                                         use_pallas="never")
+    z_ref = gt.chebyshev_preconditioner(gt.poisson_operator(n), 0.2,
+                                        8.2)(r)
+    np.testing.assert_allclose(m(r), z_ref, rtol=1e-13)
+
+
+def test_wrapper_drives_gmres():
+    n = 48
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    m = chebyshev_stencil_preconditioner(0.005, 8.0, order=16)
+    res = gt.gmres(op, b, restart=20, tol=1e-9, M=m,
+                   compute_v_err=False)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-6)
