@@ -56,3 +56,25 @@ def shard_grid_vector(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Place an (N, N) grid vector row-sharded over the mesh. N must be
     divisible by the mesh size (pad the grid otherwise)."""
     return jax.device_put(x, grid_sharding(mesh))
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Multi-host setup: ``jax.distributed.initialize`` + a 1-D mesh
+    over every chip in the slice (ICI within a host, DCN across).
+
+    The same SPMD solver program then runs unchanged — this is the
+    capability the reference fundamentally lacks (its parallelism stops
+    at one shared-memory process, SURVEY §2 C14). On managed TPU pods
+    all three arguments are discovered from the environment; pass them
+    explicitly elsewhere.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return solver_mesh()
