@@ -326,6 +326,7 @@ def cmd_spmv(args):
     on the Poisson matrix (the BASELINE.json north-star metric)."""
     from gmres_tpu.ops import sparse as sp
     from gmres_tpu.ops.stencil import stencil_5pt_apply, stencil_5pt_pallas
+    from gmres_tpu.utils.profiling import measure_bandwidth
 
     n = args.nsize
     nnz = 5 * n * n - 4 * n  # interior 5, boundary truncated
@@ -333,13 +334,12 @@ def cmd_spmv(args):
     records = []
 
     def bench(name, fn, x, reps=args.reps):
-        fn_j = jax.jit(fn)
-        jax.block_until_ready(fn_j(x))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = fn_j(x)
-        jax.block_until_ready(y)
-        dt = (time.perf_counter() - t0) / reps
+        # measure_bandwidth chains reps inside one jit — the timing is
+        # device-side, free of per-dispatch (tunnel) latency.
+        out = measure_bandwidth(
+            fn, x, bytes_moved=2 * x.size * x.dtype.itemsize, reps=reps
+        )
+        dt = out["seconds"]
         records.append(
             RunRecord(
                 name=name, nvars=n * n, iterations=1, wall_s=dt,
@@ -366,7 +366,22 @@ def cmd_spmv(args):
         )
         bench("ell-gather-f32", lambda x, a=ell32: sp.ell_spmv(a, x),
               xg32.reshape(-1))
-    _emit(records, args)
+        dia = sp.poisson_dia(n)
+        bench("dia-shift-f64", lambda x, a=dia: sp.dia_spmv(a, x),
+              xg64.reshape(-1))
+        dia32 = sp.DIAMatrix(data=dia.data.astype(jnp.float32),
+                             offsets=dia.offsets, shape=dia.shape)
+        bench("dia-shift-f32", lambda x, a=dia32: sp.dia_spmv(a, x),
+              xg32.reshape(-1))
+    # Throughput table (the standard table's ms resolution hides
+    # microsecond kernels).
+    if jax.process_index() == 0:
+        print(f"{'kernel':<22} {'us/apply':>10} {'Gnnz/s':>9}")
+        for r in records:
+            print(f"{r.name:<22} {r.wall_s * 1e6:>10.2f} "
+                  f"{r.extra['gnnz_per_s']:>9.2f}")
+    if getattr(args, "jsonl", None):
+        write_jsonl(records, args.jsonl, append=True)
 
 
 # ---------------------------------------------------------------------------

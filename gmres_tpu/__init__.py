@@ -47,13 +47,16 @@ from gmres_tpu.ops.sparse import (
     BSRMatrix,
     COOMatrix,
     CSRMatrix,
+    DIAMatrix,
     ELLMatrix,
     bsr_from_dense,
     coo_from_dense,
     csr_from_dense,
     csr_to_ell,
+    dia_from_dense,
     ell_from_dense,
     poisson_csr,
+    poisson_dia,
     sparse_operator,
 )
 
@@ -77,12 +80,15 @@ __all__ = [
     "COOMatrix",
     "CSRMatrix",
     "ELLMatrix",
+    "DIAMatrix",
     "bsr_from_dense",
     "coo_from_dense",
     "csr_from_dense",
     "csr_to_ell",
+    "dia_from_dense",
     "ell_from_dense",
     "poisson_csr",
+    "poisson_dia",
     "sparse_operator",
 ]
 

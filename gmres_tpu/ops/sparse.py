@@ -96,6 +96,26 @@ class ELLMatrix:
 
 
 @functools.partial(
+    _register, data_fields=["data"], meta_fields=["offsets", "shape"]
+)
+@dataclasses.dataclass(frozen=True)
+class DIAMatrix:
+    """Diagonal format: data (ndiags, n) holds each diagonal aligned to
+    ROW index (data[k, i] = A[i, i + offsets[k]], zero where out of
+    range). The TPU-native format for banded matrices (every stencil
+    discretization): SpMV is a shift + multiply per diagonal — no
+    gathers, no segments, fully vectorizable, shards by rows."""
+
+    data: jnp.ndarray
+    offsets: tuple
+    shape: tuple
+
+    @property
+    def ndiags(self) -> int:
+        return self.data.shape[0]
+
+
+@functools.partial(
     _register, data_fields=["data", "block_cols"], meta_fields=["shape"]
 )
 @dataclasses.dataclass(frozen=True)
@@ -214,9 +234,66 @@ def poisson_csr(nsize: int, dtype=jnp.float64) -> CSRMatrix:
     )
 
 
+def dia_from_dense(a, tol: float = 0.0) -> DIAMatrix:
+    """Extract every nonzero diagonal (host-side)."""
+    a = np.asarray(a)
+    n = a.shape[0]
+    offsets = []
+    rows = []
+    for off in range(-(n - 1), n):
+        d = np.diagonal(a, offset=off)
+        if np.any(np.abs(d) > tol):
+            row = np.zeros(n, dtype=a.dtype)
+            if off >= 0:
+                row[: n - off] = d
+            else:
+                row[-off:] = d
+            offsets.append(off)
+            rows.append(row)
+    return DIAMatrix(
+        data=jnp.asarray(np.stack(rows) if rows else np.zeros((1, n))),
+        offsets=tuple(offsets) if offsets else (0,),
+        shape=a.shape,
+    )
+
+
+def poisson_dia(nsize: int, dtype=jnp.float64) -> DIAMatrix:
+    """5-point Laplacian directly in DIA (never densified): offsets
+    (−N, −1, 0, 1, N) — the natural sparse form of poisson.f90:13-30."""
+    n = nsize * nsize
+    j = np.arange(n) % nsize
+    main = np.full(n, 4.0)
+    west = np.where(j > 0, -1.0, 0.0)    # A[i, i-1]
+    east = np.where(j < nsize - 1, -1.0, 0.0)  # A[i, i+1]
+    north = np.full(n, -1.0)
+    north[n - nsize:] = 0.0              # A[i, i+N] valid for i < n-N
+    south = np.full(n, -1.0)
+    south[:nsize] = 0.0                  # A[i, i-N] valid for i >= N
+    data = np.stack([south, west, main, east, north]).astype(
+        np.dtype(dtype)
+    )
+    return DIAMatrix(
+        data=jnp.asarray(data),
+        offsets=(-nsize, -1, 0, 1, nsize),
+        shape=(n, n),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SpMV (jnp / XLA paths).
 # ---------------------------------------------------------------------------
+
+
+def dia_spmv(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    """y_i = Σ_k data[k, i] · x[i + off_k]: one roll + multiply-add per
+    diagonal, all static — zero gathers. Out-of-range positions carry
+    zero coefficients by construction, so plain jnp.roll wrap-around is
+    harmless."""
+    xf = x.reshape(-1)
+    y = jnp.zeros_like(xf)
+    for k, off in enumerate(a.offsets):
+        y = y + a.data[k] * jnp.roll(xf, -off)
+    return y
 
 
 def csr_spmv(a: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
@@ -356,4 +433,6 @@ def sparse_operator(a) -> Callable:
         return lambda x: ell_spmv(a, x)
     if isinstance(a, BSRMatrix):
         return lambda x: bsr_spmv(a, x)
+    if isinstance(a, DIAMatrix):
+        return lambda x: dia_spmv(a, x)
     raise TypeError(f"not a sparse matrix: {type(a)}")

@@ -56,25 +56,50 @@ def measure_bandwidth(
 ) -> dict:
     """Achieved effective bandwidth of fn(x) (GB/s), compile excluded.
 
-    The ``reps`` applications are CHAINED inside one jit call
-    (x ← fn(x)) so host-dispatch latency — which dominates per-call
-    timing for small grids, especially over a remote-TPU tunnel — is
-    amortized away and the device-side time per application is what's
-    measured. Requires fn: X → X (every stencil/SpMV qualifies)."""
+    Applications are CHAINED inside one jit call (x ← fn(x)) and timed
+    at two rep counts; the per-application time is the SLOPE, so both
+    host-dispatch latency (~30 ms over a remote-TPU tunnel) and the
+    scalar-fetch round trip cancel out. Requires fn: X → X (every
+    stencil/SpMV qualifies)."""
 
-    @jax.jit
-    def chained(v):
-        v = jax.lax.fori_loop(0, reps, lambda _, u: fn(u), v)
-        # Reduce to a scalar INSIDE the jit: fetching it is the only
-        # reliable sync — block_until_ready returns early through the
-        # remote-TPU (axon) tunnel, and transferring the full array
-        # would measure tunnel bandwidth instead of HBM.
-        return jnp.sum(v)
+    def total(k):
+        @jax.jit
+        def chained(v):
+            v = jax.lax.fori_loop(0, k, lambda _, u: fn(u), v)
+            # Reduce to a scalar INSIDE the jit: fetching it is the
+            # only reliable sync — block_until_ready returns early
+            # through the remote-TPU (axon) tunnel, and transferring
+            # the full array would measure tunnel bandwidth.
+            return jnp.sum(v)
 
-    float(chained(x))
-    t0 = time.perf_counter()
-    float(chained(x))
-    dt = (time.perf_counter() - t0) / reps
+        float(chained(x))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(chained(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Two-point slope with chain lengths sized in SECONDS of device
+    # work: the per-dispatch constant over a remote-TPU tunnel is
+    # ~30 ms with multi-ms jitter, so the two points must sit ≳1 s
+    # apart for a clean slope. Ramp the chain length geometrically
+    # until the call takes ≳0.7 s (so the estimate is jitter-free),
+    # never predicting past ~6 s — multi-minute fused kernels trip the
+    # device watchdog (observed: TPU worker crash).
+    rtt = total(0)
+    r1 = max(1, reps // 4)
+    t1 = total(r1)
+    while t1 - rtt < 0.7 and r1 < 1_000_000:
+        # Predict the next size from the work seen so far, but never
+        # grow more than 16x per step in case the estimate is noise.
+        per = max((t1 - rtt) / r1, 1e-8)
+        r_next = min(max(int(1.0 / per), 2 * r1), 16 * r1, 1_000_000)
+        r1, t1 = r_next, total(r_next)
+    per = max((t1 - rtt) / r1, 1e-9)
+    r2 = max(r1 + 1, min(4 * r1, r1 + int(4.0 / per)))
+    t2 = total(r2)
+    dt = max((t2 - t1) / (r2 - r1), 1e-9)
     gbps = bytes_moved / dt / 1e9
     peak = _device_peak_gbps()
     return {

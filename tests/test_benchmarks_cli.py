@@ -36,10 +36,10 @@ from benchmarks.cli import main
 def test_cli_smoke(argv, capsys):
     main(argv)
     out = capsys.readouterr().out
-    assert "solver" in out  # header printed
     if argv[0] == "spmv":
-        assert "stencil-jnp-f64" in out
+        assert "kernel" in out and "stencil-jnp-f64" in out
     else:
+        assert "solver" in out  # header printed
         assert "e-" in out or "e+" in out  # scientific cells present
 
 

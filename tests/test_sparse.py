@@ -153,3 +153,31 @@ def test_spmv_under_jit_and_sharding():
     np.testing.assert_allclose(
         y, gt.poisson_apply(x.reshape(n, n)).reshape(-1), rtol=1e-13
     )
+
+
+def test_dia_from_dense(dense):
+    a = sp.dia_from_dense(dense)
+    x = jnp.asarray(np.random.default_rng(8).standard_normal(37))
+    np.testing.assert_allclose(
+        sp.dia_spmv(a, x), dense @ np.asarray(x), rtol=1e-12
+    )
+
+
+def test_poisson_dia_matches_stencil():
+    n = 12
+    a = sp.poisson_dia(n)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal((n, n)))
+    np.testing.assert_allclose(
+        sp.dia_spmv(a, x.reshape(-1)),
+        gt.poisson_apply(x).reshape(-1),
+        rtol=1e-13,
+    )
+
+
+def test_dia_operator_in_cg():
+    n = 10
+    op = sp.sparse_operator(sp.poisson_dia(n))
+    b = op(jnp.ones(n * n))
+    res = gt.cg(op, b, tol=1e-10, max_iterations=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-7)
