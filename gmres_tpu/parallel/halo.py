@@ -132,18 +132,34 @@ def halo_chebyshev_preconditioner(
     lam_max: float,
     coefs=LAPLACE_COEFS,
     axis: str = GRID_AXIS,
+    order: int = 2,
     use_pallas: bool = False,
     interpret: bool = False,
 ) -> Callable:
-    """Distributed degree-2 Chebyshev preconditioner, fused: one halo
-    exchange + ONE pass producing z = r/d + α(r − A(r)/d) — the three
-    loops of cbpr2 (chebyshev.f90:27-37) collapsed (see
+    """Distributed Chebyshev preconditioner over the halo operator.
+
+    order=2 (default) is fused: one halo exchange + ONE pass producing
+    z = r/d + α(r − A(r)/d) — the three loops of cbpr2
+    (chebyshev.f90:27-37) collapsed (see
     ops/fused.py:chebyshev_poisson_fused for the linearity argument).
+    order>2 composes the general semi-iteration over the halo stencil
+    operator (one halo exchange per sweep — the unavoidable
+    communication of a deep polynomial across shards).
     """
     from gmres_tpu.ops.fused import (
         chebyshev_poisson_fused,
         chebyshev_ref_scalars,
     )
+    from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+
+    if order != 2:
+        a_halo = halo_stencil_operator(
+            mesh, coefs, axis=axis, use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        return chebyshev_preconditioner(
+            a_halo, lam_min, lam_max, order=order, reference_form=False
+        )
 
     d, alpha = chebyshev_ref_scalars(lam_min, lam_max)
     spec = P(axis, None)

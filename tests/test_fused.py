@@ -102,3 +102,17 @@ def test_fused_preconditioner_drives_solver():
     assert bool(res.converged)
     assert int(res.iterations) == int(ref.iterations)
     np.testing.assert_allclose(res.x, 1.0, atol=1e-6)
+
+
+def test_halo_chebyshev_high_order():
+    """order>2 distributed Chebyshev composes the semi-iteration over
+    the halo operator; must match the single-device recurrence."""
+    mesh = solver_mesh(8)
+    n = 32
+    r = _rand((n, n), 11, np.float64)
+    m_dist = halo_chebyshev_preconditioner(mesh, 0.005, 8.0, order=8)
+    z = jax.jit(m_dist)(shard_grid_vector(r, mesh))
+    z_ref = gt.chebyshev_preconditioner(
+        gt.poisson_operator(n), 0.005, 8.0, order=8, reference_form=False
+    )(r)
+    np.testing.assert_allclose(z, z_ref, rtol=1e-12)
