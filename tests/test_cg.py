@@ -2,6 +2,7 @@
 test pattern of the reference drivers (x_true = 1, b = A·1,
 test_cg.f90:40-41)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,3 +110,72 @@ def test_cg_pytree_vectors():
     assert res.status == SolverStatus.CONVERGED
     assert np.max(np.abs(np.asarray(res.x["a"]) - 1.0)) < 1e-8
     assert np.max(np.abs(np.asarray(res.x["b"]) - 1.0)) < 1e-8
+
+
+class TestPipelinedCG:
+    """Pipelined (Ghysels-Vanroose) variant: one fused reduction per
+    iteration; must converge to the same solution with an iteration
+    count within a couple of the classic loop."""
+
+    def _problem(self, n=64):
+        import gmres_tpu as gt
+
+        op = gt.poisson_operator(n)
+        b = op(jnp.ones((n, n)))
+        return op, b
+
+    def test_matches_classic(self):
+        import gmres_tpu as gt
+
+        op, b = self._problem()
+        classic = gt.cg(op, b, tol=1e-9, max_iterations=5000)
+        piped = gt.cg(op, b, tol=1e-9, max_iterations=5000,
+                      variant="pipelined")
+        assert bool(piped.converged)
+        assert abs(int(piped.iterations) - int(classic.iterations)) <= 2
+        np.testing.assert_allclose(piped.x, 1.0, atol=1e-7)
+        # reported residual honors the absolute criterion
+        assert float(piped.residual) < 1e-9
+
+    def test_preconditioned(self):
+        import gmres_tpu as gt
+
+        op, b = self._problem()
+        m_inv = gt.chebyshev_preconditioner(op, 0.2, 8.2)
+        classic = gt.cg(op, b, tol=1e-9, max_iterations=5000, M=m_inv)
+        piped = gt.cg(op, b, tol=1e-9, max_iterations=5000, M=m_inv,
+                      variant="pipelined")
+        assert bool(piped.converged)
+        assert abs(int(piped.iterations) - int(classic.iterations)) <= 2
+        np.testing.assert_allclose(piped.x, 1.0, atol=1e-7)
+
+    def test_sharded_iteration_parity(self):
+        import gmres_tpu as gt
+        from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
+
+        mesh = solver_mesh(8)
+        op, b = self._problem(40)
+        plain = gt.cg(op, b, tol=1e-9, max_iterations=5000,
+                      variant="pipelined")
+        sharded = jax.jit(
+            lambda v: gt.cg(op, v, tol=1e-9, max_iterations=5000,
+                            variant="pipelined")
+        )(shard_grid_vector(b, mesh))
+        assert int(plain.iterations) == int(sharded.iterations)
+
+    def test_b_zero(self):
+        import gmres_tpu as gt
+
+        op, _ = self._problem(8)
+        res = gt.cg(op, jnp.zeros((8, 8)), tol=1e-9,
+                    variant="pipelined")
+        assert bool(res.converged)
+        assert int(res.iterations) == 0
+
+    def test_bad_variant(self):
+        import gmres_tpu as gt
+        import pytest
+
+        op, b = self._problem(8)
+        with pytest.raises(ValueError, match="variant"):
+            gt.cg(op, b, variant="nope")
