@@ -355,8 +355,13 @@ def _bsr_kernel(cols_ref, d_ref, x_ref, o_ref):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    o_ref[:] += jnp.dot(
-        x_ref[:], d_ref[0, 0].T, preferred_element_type=o_ref.dtype
+    # HIGHEST precision: the MXU's default f32 path multiplies in
+    # bf16 (measured ~2.5e-3 relative error on this kernel).
+    o_ref[:] += jax.lax.dot_general(
+        x_ref[:], d_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=o_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -365,7 +370,19 @@ def bsr_spmv_pallas(
     a: BSRMatrix, x: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
     """Pallas TPU BSR SpMV. float32/bfloat16 blocks; block_size should
-    be a multiple of the lane width (128) for full MXU tiles."""
+    be a multiple of the lane width (128) for full MXU tiles.
+
+    Traced with x64 disabled: scalar-prefetch grid specs crash the
+    Mosaic compiler under jax_enable_x64 (observed on v5e/JAX 0.9);
+    every operand here is 32-bit, so the trace is identical.
+    """
+    with jax.enable_x64(False):
+        return _bsr_spmv_pallas_impl(a, x, interpret)
+
+
+def _bsr_spmv_pallas_impl(
+    a: BSRMatrix, x: jnp.ndarray, interpret: bool
+) -> jnp.ndarray:
     nbr, k, bs, _ = a.data.shape
     xb = x.reshape(1, -1)  # (1, n) → blocks of (1, bs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
