@@ -333,17 +333,19 @@ def cmd_spmv(args):
     rng = np.random.default_rng(0)
     records = []
 
-    def bench(name, fn, x, reps=args.reps):
+    def bench(name, fn, x, reps=args.reps, kernel_nnz=None):
         # measure_bandwidth chains reps inside one jit — the timing is
         # device-side, free of per-dispatch (tunnel) latency.
         out = measure_bandwidth(
             fn, x, bytes_moved=2 * x.size * x.dtype.itemsize, reps=reps
         )
         dt = out["seconds"]
+        knnz = kernel_nnz if kernel_nnz is not None else nnz
         records.append(
             RunRecord(
-                name=name, nvars=n * n, iterations=1, wall_s=dt,
-                nnz=nnz, extra={"matvecs": 1, "gnnz_per_s": nnz / dt / 1e9},
+                name=name, nvars=x.size, iterations=1, wall_s=dt,
+                nnz=knnz,
+                extra={"matvecs": 1, "gnnz_per_s": knnz / dt / 1e9},
             )
         )
 
@@ -373,6 +375,28 @@ def cmd_spmv(args):
                              offsets=dia.offsets, shape=dia.shape)
         bench("dia-shift-f32", lambda x, a=dia32: sp.dia_spmv(a, x),
               xg32.reshape(-1))
+        if jax.default_backend() == "tpu" and n >= 256:
+            # block-tridiagonal synthetic BSR at MXU-tile block size
+            bs = 128
+            nb = n // bs * bs
+            dense_b = np.zeros((nb, nb), np.float32)
+            for i in range(nb // bs):
+                for jj in (i - 1, i, i + 1):
+                    if 0 <= jj < nb // bs:
+                        dense_b[i*bs:(i+1)*bs, jj*bs:(jj+1)*bs] = (
+                            rng.standard_normal((bs, bs))
+                        )
+            bmat = sp.bsr_from_dense(dense_b, block_size=bs)
+            xb = jnp.asarray(
+                rng.standard_normal(nb).astype(np.float32)
+            )
+            bsr_nnz = int(np.count_nonzero(dense_b))
+            bench("bsr-pallas-f32",
+                  lambda x, a=bmat: sp.bsr_spmv_pallas(a, x), xb,
+                  kernel_nnz=bsr_nnz)
+            bench("bsr-einsum-f32",
+                  lambda x, a=bmat: sp.bsr_spmv(a, x), xb,
+                  kernel_nnz=bsr_nnz)
     # Throughput table (the standard table's ms resolution hides
     # microsecond kernels).
     if jax.process_index() == 0:

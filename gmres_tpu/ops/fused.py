@@ -180,9 +180,8 @@ def _local_stencil(x, top, bottom, c0, cw, ce, cs, cn):
 def _chebk_kernel(order: int):
     def kernel(scal_ref, rho_ref, r_ref, z_ref, d_scr):
         theta = scal_ref[0]
-        two_over_delta = scal_ref[1]
-        c0, cw, ce, cs, cn = (scal_ref[2], scal_ref[3], scal_ref[4],
-                              scal_ref[5], scal_ref[6])
+        c0, cw, ce, cs, cn = (scal_ref[1], scal_ref[2], scal_ref[3],
+                              scal_ref[4], scal_ref[5])
         r = r_ref[:]
         zero = jnp.zeros((1, r.shape[1]), dtype=r.dtype)
         d_scr[:] = r / theta
@@ -229,8 +228,7 @@ def chebyshev_k_poisson_pallas(
     sweeps VMEM-resident (single chip / single shard, Dirichlet zero
     halos). Grid + two scratch buffers must fit VMEM: f32 N ≲ 800."""
     theta, _, steps = chebyshev_k_scalars(lam_min, lam_max, order)
-    _, delta, _ = chebyshev_k_scalars(lam_min, lam_max, order)
-    scal = jnp.asarray([theta, 2.0 / delta, *coefs], dtype=r.dtype)
+    scal = jnp.asarray([theta, *coefs], dtype=r.dtype)
     rho = jnp.asarray(steps if steps else [0.0], dtype=r.dtype)
     return pl.pallas_call(
         _chebk_kernel(order),

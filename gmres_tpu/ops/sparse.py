@@ -296,16 +296,27 @@ def dia_spmv(a: DIAMatrix, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def csr_spmv(a: CSRMatrix, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x. Row ids are recovered from indptr with one
-    searchsorted (static shapes), then a sorted segment-sum — the XLA
-    pattern that lowers to a single scan-free reduction."""
-    rows = (
+def csr_row_ids(a: CSRMatrix) -> jnp.ndarray:
+    """Per-nnz row ids from indptr (one searchsorted). Loop-invariant
+    for a fixed matrix — precompute and pass to ``csr_spmv`` when the
+    SpMV runs inside a solver loop (``sparse_operator`` does this)."""
+    return (
         jnp.searchsorted(
-            a.indptr, jnp.arange(a.nnz, dtype=a.indptr.dtype), side="right"
+            a.indptr, jnp.arange(a.nnz, dtype=a.indptr.dtype),
+            side="right",
         )
         - 1
     )
+
+
+def csr_spmv(
+    a: CSRMatrix, x: jnp.ndarray, rows: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """y = A x via sorted segment-sum — the XLA pattern that lowers to
+    a single scan-free reduction. ``rows`` (from ``csr_row_ids``) is
+    recomputed when not supplied."""
+    if rows is None:
+        rows = csr_row_ids(a)
     prod = a.data * x.reshape(-1)[a.indices]
     return jax.ops.segment_sum(
         prod, rows, num_segments=a.shape[0], indices_are_sorted=True
@@ -443,7 +454,8 @@ def sparse_operator(a) -> Callable:
     same inversion-of-control contract as the stencil operators,
     interfaces.f90:12-18)."""
     if isinstance(a, CSRMatrix):
-        return lambda x: csr_spmv(a, x)
+        rows = csr_row_ids(a)
+        return lambda x: csr_spmv(a, x, rows=rows)
     if isinstance(a, COOMatrix):
         return lambda x: coo_spmv(a, x)
     if isinstance(a, ELLMatrix):

@@ -97,18 +97,22 @@ def chebyshev_stencil_preconditioner(
     VMEM), "never", or "always" (testing). The f64 route — including
     the outer true-residual applications of mixed-precision GMRES-IR —
     always takes the jnp recurrence (Mosaic has no f64 path).
+
+    Both routes apply the SAME polynomial (the order-k semi-iteration)
+    so dtype/backend never changes the preconditioner being applied —
+    including at order=2, where the semi-iteration differs from
+    cbpr2's closed form; use ``chebyshev_preconditioner`` for exact
+    cbpr2 reference parity.
     """
     import jax
 
-    from gmres_tpu.models.poisson import poisson_operator  # noqa: F401
     from gmres_tpu.ops.fused import chebyshev_k_poisson_pallas
     from gmres_tpu.ops.stencil import stencil_5pt_general
 
     lo, hi = sorted((float(lam_min), float(lam_max)))
     a_jnp = lambda x: stencil_5pt_general(x, *coefs)  # noqa: E731
     jnp_form = chebyshev_preconditioner(
-        a_jnp, lo, hi, order=order,
-        reference_form=(order == 2),
+        a_jnp, lo, hi, order=order, reference_form=False,
     )
     if use_pallas == "never":
         return jnp_form

@@ -84,19 +84,31 @@ def bicgstab(
         z2 = M(s) if M is not None else s
         as_ = A(z2)
         as_s, as_as = batched_vdot([(as_, s), (as_, as_)])
-        omega = as_s / as_as
+        # Half-step degeneracy guard: when s = r − α·ap is (numerically)
+        # zero, as = A·M·s is zero and ω = (as·s)/(as·as) is 0/0 —
+        # the α step already hit the solution. Skipping the omega
+        # update (ω = 0 leaves x = x + α·z1, r = s) converges cleanly;
+        # the reference omits this and NaN-poisons x (SURVEY §7
+        # quirk-1 territory). Guarded on as_as ≈ 0 — not ‖s‖ < tol —
+        # so regular iterations keep bit-parity with the reference
+        # recurrence.
+        degenerate = as_as <= eps
+        omega = jnp.where(
+            degenerate, 0.0, as_s / jnp.where(as_as > 0, as_as, 1.0)
+        )
         x = tree_axpy(alpha, z1, tree_axpy(omega, z2, x))
         r = tree_axpy(-omega, as_, s)
         res_sq, r_r0_new = batched_vdot([(r, r), (r, r0)])
         res = jnp.sqrt(res_sq)
-        beta = (r_r0_new / rr0) * (alpha / omega)
+        safe_omega = jnp.where(omega != 0, omega, 1.0)
+        beta = (r_r0_new / rr0) * (alpha / safe_omega)
         p = tree_axpy(beta, tree_axpy(-omega, ap, p), r)
         status = jnp.where(
             res < tol, jnp.int32(SolverStatus.CONVERGED), status
         )
         breakdown = (
             ~jnp.isfinite(res)
-            | (jnp.abs(as_as) <= eps)
+            | (degenerate & (res >= tol))
             | (jnp.abs(r_r0_new) <= eps)
         )
         status = jnp.where(

@@ -64,12 +64,19 @@ from gmres_tpu.types import (
 
 
 def _as_operator(A) -> LinearOperator:
-    """Accept a dense matrix (reference dense path, gmres_hh.f90:37) or
-    a callable operator."""
-    if isinstance(A, jnp.ndarray):
-        mat = A
+    """Accept a dense matrix (reference dense path, gmres_hh.f90:37) —
+    jax OR numpy — or a callable operator."""
+    import numpy as _np
+
+    if isinstance(A, (jnp.ndarray, _np.ndarray)):
+        mat = jnp.asarray(A)
         return lambda v: (mat.astype(v.dtype) @ v if v.dtype != mat.dtype
                           else mat @ v)
+    if not callable(A):
+        raise TypeError(
+            f"A must be a dense matrix or a callable operator, got "
+            f"{type(A)}"
+        )
     return A
 
 
@@ -566,6 +573,28 @@ def gmres(
       x0: initial guess, defaults to zeros (all reference drivers use 0).
     """
     op = _as_operator(A)
+    if b.size == 1:
+        # Degenerate 1×1 system: the Householder machinery needs
+        # n ≥ m+1 ≥ 2; solve directly.
+        a_val = op(jnp.ones_like(b))
+        x = jnp.where(a_val != 0, b / jnp.where(a_val != 0, a_val, 1.0),
+                      jnp.zeros_like(b))
+        if x0 is not None:
+            x = jnp.where(a_val != 0, x, x0)
+        residual = jnp.sqrt(tree_vdot(b - op(x), b - op(x))) / jnp.maximum(
+            jnp.sqrt(tree_vdot(b, b)), jnp.finfo(b.dtype).tiny
+        )
+        status = jnp.where(
+            residual < tol,
+            jnp.int32(SolverStatus.CONVERGED),
+            jnp.int32(SolverStatus.BREAKDOWN),
+        )
+        return GmresResult(
+            x=x, iterations=jnp.int32(1), restarts=jnp.int32(1),
+            residual=residual, status=status,
+            residual_history=jnp.full((1,), residual, dtype=b.dtype),
+            v_err=jnp.zeros((2,), dtype=b.dtype),
+        )
     # Clamp the Krylov dimension to n−1: the reference allocates
     # P(n, m+1) with m > n for e.g. Hilbert n=12, m=90 and relies on
     # the `j < n` branch never producing a reflector (gmres_hh.f90:60);

@@ -30,12 +30,12 @@ def save_checkpoint(
         return
     tmp = path + ".tmp"
     np.savez(
-        tmp if tmp.endswith(".npz") else tmp,
+        tmp,
         x=np.asarray(x),
         restarts_done=np.int64(restarts_done),
         **(meta or {}),
     )
-    # np.savez appends .npz when missing — normalize.
+    # np.savez appends .npz when the name lacks it — normalize.
     src = tmp if tmp.endswith(".npz") else tmp + ".npz"
     os.replace(src, path)
 
@@ -88,7 +88,11 @@ def gmres_checkpointed(
         if int(result.restarts) == 0:  # converged at x0
             break
 
-    assert result is not None
+    if result is None:
+        # Resumed from a checkpoint that had already exhausted
+        # max_restarts: evaluate the stored x without iterating
+        # (max_restarts=0 runs only the convergence prologue).
+        result = gmres(A, b, max_restarts=0, x0=x, **gmres_kwargs)
     return GmresResult(
         x=result.x,
         iterations=result.iterations,

@@ -18,10 +18,9 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 from jax.experimental import checkify
-
-from gmres_tpu.ops.blas import tree_vdot
 
 
 def finite_checked(op: Callable, name: str = "operator") -> Callable:
@@ -29,11 +28,15 @@ def finite_checked(op: Callable, name: str = "operator") -> Callable:
 
     def wrapped(x):
         y = op(x)
-        total = tree_vdot(y, y)
-        checkify.check(
-            jnp.isfinite(total),
-            name + " produced non-finite values",
+        # Per-element isfinite (NOT isfinite(y·y): squaring can
+        # overflow to inf on large-but-finite outputs).
+        leaves = jax.tree.leaves(
+            jax.tree.map(lambda v: jnp.all(jnp.isfinite(v)), y)
         )
+        ok = leaves[0]
+        for l in leaves[1:]:
+            ok = ok & l
+        checkify.check(ok, name + " produced non-finite values")
         return y
 
     return wrapped

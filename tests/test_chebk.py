@@ -45,15 +45,28 @@ def test_wrapper_f64_route_matches_general_recurrence():
     np.testing.assert_allclose(m(r), z_ref, rtol=1e-12)
 
 
-def test_wrapper_order2_matches_reference_form():
-    """order=2 must keep exact cbpr2 semantics (chebyshev.f90:20-37)."""
+def test_wrapper_routes_agree_at_order2():
+    """Both wrapper routes (jnp and Pallas) apply the SAME polynomial
+    at every order — an f32 TPU run must not silently get a different
+    preconditioner than an f64 run (found in review: the jnp route
+    used cbpr2's closed form at order=2 while Pallas ran the
+    semi-iteration, an 82% discrepancy)."""
     n = 16
-    r = jnp.asarray(np.random.default_rng(2).standard_normal((n, n)))
-    m = chebyshev_stencil_preconditioner(0.2, 8.2, order=2,
-                                         use_pallas="never")
-    z_ref = gt.chebyshev_preconditioner(gt.poisson_operator(n), 0.2,
-                                        8.2)(r)
-    np.testing.assert_allclose(m(r), z_ref, rtol=1e-13)
+    r32 = jnp.asarray(
+        np.random.default_rng(2).standard_normal((n, n)).astype(np.float32)
+    )
+    m_never = chebyshev_stencil_preconditioner(0.2, 8.2, order=2,
+                                               use_pallas="never")
+    m_always = chebyshev_stencil_preconditioner(0.2, 8.2, order=2,
+                                                use_pallas="always")
+    z_jnp = m_never(r32.astype(jnp.float64))
+    z_pal = m_always(r32)
+    np.testing.assert_allclose(z_pal, z_jnp, rtol=1e-4, atol=1e-6)
+    # exact cbpr2 reference parity remains available via
+    # chebyshev_preconditioner (reference_form=True default at order 2)
+    z_cb = gt.chebyshev_preconditioner(gt.poisson_operator(n), 0.2,
+                                       8.2)(r32.astype(jnp.float64))
+    assert not np.allclose(z_cb, z_jnp)  # different polynomials, by design
 
 
 def test_wrapper_drives_gmres():

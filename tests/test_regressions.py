@@ -1,0 +1,83 @@
+"""Regression tests for defects found in the round-1 self review."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gmres_tpu as gt
+from gmres_tpu.types import SolverStatus
+
+
+def test_bicgstab_exact_solution_at_half_step():
+    """s = r − α·ap hits exactly 0 on the identity system; must
+    converge cleanly instead of poisoning x with ω = 0/0 NaN."""
+    b = jnp.asarray([3.0, -1.0, 2.0, 0.5])
+    res = gt.bicgstab(lambda x: x, b, tol=1e-12, max_iterations=10)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, b, rtol=1e-14)
+    assert np.isfinite(float(res.residual))
+
+
+def test_gmres_one_element_system():
+    """n = 1 clamps restart to 1, not 0 (which crashed at trace)."""
+    a = jnp.asarray([[2.0]])
+    b = jnp.asarray([4.0])
+    res = gt.gmres(a, b, restart=30, tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, [2.0], rtol=1e-12)
+
+
+def test_gmres_accepts_numpy_matrix():
+    a = np.diag([1.0, 2.0, 3.0, 4.0])
+    b = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    res = gt.gmres(a, b, restart=4, tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-10)
+
+
+def test_gmres_rejects_non_operator():
+    with pytest.raises(TypeError, match="callable"):
+        gt.gmres(42, jnp.ones(4))
+
+
+def test_checkpoint_resume_after_exhausted_restarts(tmp_path):
+    """Resuming from a checkpoint whose run already exhausted
+    max_restarts returns the stored state instead of asserting."""
+    from gmres_tpu.utils.checkpoint import (
+        gmres_checkpointed,
+        save_checkpoint,
+    )
+
+    n = 12
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    p = str(tmp_path / "c.npz")
+    partial = gt.gmres(op, b, restart=5, tol=1e-14, max_restarts=2,
+                       compute_v_err=False)
+    save_checkpoint(p, partial.x, 2)
+    res = gmres_checkpointed(
+        op, b, checkpoint_path=p, chunk_restarts=2, max_restarts=2,
+        restart=5, tol=1e-14, compute_v_err=False,
+    )
+    assert int(res.restarts) == 2
+    np.testing.assert_allclose(res.x, partial.x, rtol=1e-12)
+
+
+def test_finite_checked_no_overflow_false_positive():
+    """Large-but-finite outputs must pass (isfinite(y·y) overflowed)."""
+    from gmres_tpu.utils.debug import finite_checked, run_checked
+
+    big = finite_checked(lambda x: x * 1e200, "scale")
+    y = run_checked(big, jnp.ones(4))
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_csr_spmv_precomputed_rows_match():
+    from gmres_tpu.ops import sparse as sp
+
+    a = sp.poisson_csr(9)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(81))
+    rows = sp.csr_row_ids(a)
+    np.testing.assert_allclose(
+        sp.csr_spmv(a, x, rows=rows), sp.csr_spmv(a, x), rtol=1e-14
+    )
