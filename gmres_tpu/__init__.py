@@ -31,6 +31,7 @@ from gmres_tpu.types import (
 from gmres_tpu.solvers.cg import cg
 from gmres_tpu.solvers.bicgstab import bicgstab
 from gmres_tpu.solvers.gmres import gmres
+from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
 from gmres_tpu.models.poisson import (
@@ -67,6 +68,7 @@ __all__ = [
     "cg",
     "bicgstab",
     "gmres",
+    "sstep_gmres",
     "lanczos_bounds",
     "power_iteration_bound",
     "chebyshev_preconditioner",
