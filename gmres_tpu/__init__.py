@@ -9,14 +9,18 @@ Fortran+OpenMP library AlexanderGSC/gmres (see /root/reference):
     (reference: ``src/gmres_hh.f90``).
   - Modified Gram-Schmidt with re-orthogonalization (MGS2), plus a
     TPU-fast CGS2 mode (reference: ``src/gmres_mgsr.f90``).
-* CG / PCG (reference: ``src/cg.f90``).
+* CG / PCG (reference: ``src/cg.f90``), plus a pipelined
+  (Ghysels-Vanroose) variant with one fused all-reduce per iteration.
 * BiCGSTAB / PBiCGSTAB (reference: ``src/bicgstab.f90``).
+* Communication-avoiding s-step GMRES (``sstep_gmres``): two
+  collectives per s iterations via an equilibrated Gram least-squares
+  cycle — no reference analogue.
 * Chebyshev polynomial preconditioner of arbitrary order, with Lanczos
   spectral-bound estimation (reference: ``src/preconds/chebyshev.f90``;
   Lanczos was claimed in the reference README but absent from its code).
 * Model problems: 2-D Poisson (dense + matrix-free 5-point stencil),
   Hilbert matrix, 2-D convection-diffusion (reference: ``src/problems/``).
-* Sparse operators: CSR / COO / ELL SpMV.
+* Sparse operators: CSR / COO / ELL / BSR / DIA SpMV (Pallas block-sparse kernel; gather-free DIA for banded matrices).
 * SPMD distribution over a ``jax.sharding.Mesh``: vectors are sharded,
   dot products become ``psum`` all-reduces, stencil halos become
   collective-permutes — the same solver code runs from one chip to a
