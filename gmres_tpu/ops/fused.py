@@ -47,7 +47,10 @@ def _cg_update_kernel(alpha_ref, x_ref, r_ref, p_ref, ap_ref,
     xo_ref[:] = x_ref[:] + a * p_ref[:]
     rn = r_ref[:] - a * ap_ref[:]
     ro_ref[:] = rn
-    rsq_ref[0, 0] = jnp.sum(rn * rn)
+    # Accumulate in f32: a bf16 running sum stagnates once it exceeds
+    # ~256 (8-bit mantissa ulp swallows unit-scale terms).
+    rf = rn.astype(jnp.float32)
+    rsq_ref[0, 0] = jnp.sum(rf * rf)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -70,7 +73,7 @@ def cg_fused_update(x, r, p, ap, alpha, interpret: bool = False):
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(r.shape, r.dtype),
-            jax.ShapeDtypeStruct((1, 1), x.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=interpret,
     )(alpha, x, r, p, ap)
@@ -86,7 +89,9 @@ def _axpy_dot_kernel(alpha_ref, x_ref, y_ref, z_ref, yo_ref, dot_ref):
     a = alpha_ref[0]
     yn = y_ref[:] + a * x_ref[:]
     yo_ref[:] = yn
-    dot_ref[0, 0] = jnp.sum(yn * z_ref[:])
+    dot_ref[0, 0] = jnp.sum(
+        yn.astype(jnp.float32) * z_ref[:].astype(jnp.float32)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -103,7 +108,7 @@ def axpy_dot(alpha, x, y, z, interpret: bool = False):
         ),
         out_shape=(
             jax.ShapeDtypeStruct(y.shape, y.dtype),
-            jax.ShapeDtypeStruct((1, 1), y.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=interpret,
     )(alpha, x, y, z)
@@ -121,11 +126,7 @@ def _cheb_kernel(scal_ref, r_ref, top_ref, bot_ref, z_ref):
     c0, cw, ce, cs, cn = (scal_ref[2], scal_ref[3], scal_ref[4],
                           scal_ref[5], scal_ref[6])
     r = r_ref[:]
-    up = jnp.concatenate([top_ref[:], r[:-1, :]], axis=0)
-    down = jnp.concatenate([r[1:, :], bot_ref[:]], axis=0)
-    left = jnp.pad(r[:, :-1], ((0, 0), (1, 0)))
-    right = jnp.pad(r[:, 1:], ((0, 0), (0, 1)))
-    ar = c0 * r + cw * left + ce * right + cs * up + cn * down
+    ar = _local_stencil(r, top_ref[:], bot_ref[:], c0, cw, ce, cs, cn)
     inv_d = 1.0 / d
     z_ref[:] = r * inv_d + alpha * (r - ar * inv_d)
 

@@ -30,16 +30,13 @@ case.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from gmres_tpu.ops.stencil import (
-    stencil_5pt_halo,
-    stencil_5pt_pallas_halo,
-)
+from gmres_tpu.ops.stencil import stencil_5pt_pallas_halo
 from gmres_tpu.parallel.mesh import GRID_AXIS
 
 LAPLACE_COEFS = (4.0, -1.0, -1.0, -1.0, -1.0)

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from gmres_tpu.ops.blas import (
     batched_vdot,
     tree_axpy,
-    tree_scale,
     tree_sub,
     tree_vdot,
     tree_zeros_like,
@@ -99,9 +98,13 @@ def cg(
         alpha = rr / pap
         x = tree_axpy(alpha, p, x)
         r = tree_axpy(-alpha, ap, r)
-        res = jnp.sqrt(tree_vdot(r, r))
         z_new = M(r) if M is not None else r
-        beta = tree_vdot(r, z_new) / rr
+        # res and (r,z) in ONE fused reduction — the reference keeps
+        # them separate (cg.f90:205-221); independent sums, so
+        # iteration counts are unchanged.
+        res_sq, rz_new = batched_vdot([(r, r), (r, z_new)])
+        res = jnp.sqrt(res_sq)
+        beta = rz_new / rr
         p = tree_axpy(beta, p, z_new)
         status = jnp.where(
             res < tol, jnp.int32(SolverStatus.CONVERGED), status
@@ -171,10 +174,10 @@ def _pipelined_cg(
     (its α gates the x/r update which gates the next matvec). All
     other work is axpy recurrences on six vectors.
 
-    Reporting convention: ‖r_i‖ is measured at the TOP of iteration i
-    (it is the post-update residual of iteration i−1), so detection
-    lags the classic loop by one iteration; `iterations` counts
-    x-updates performed.
+    Reporting matches the classic loop: ‖r‖ is reduced from the
+    just-updated r at the end of each iteration (that reduction also
+    produces the NEXT iteration's γ and δ — the fusion that makes it
+    one collective per iteration); `iterations` counts x-updates.
     """
     if x0 is None:
         x = tree_zeros_like(b)

@@ -75,11 +75,11 @@ def sstep_gmres(
         the TPU fast path); the Gram solve, x updates and residual
         certification always run in b's dtype.
       rel_ridge: Tikhonov ridge relative to the equilibrated Gram's
-        unit diagonal. Defaults (0) to 100·eps(work dtype) — the Gram
-        carries O(s·eps) noise from the block products, so the ridge
-        must sit above the WORK precision's floor (measured: an f32
-        block needs ~1e-5; 1e-7 still fails the Cholesky). Pass a
-        value to override the floor.
+        unit diagonal. 0 (default) selects 100·eps(work dtype) — the
+        Gram carries O(s·eps) noise from the block products, so the
+        ridge must sit above the WORK precision's floor (measured: an
+        f32 block needs ~1e-5; 1e-7 still fails the Cholesky). Any
+        positive value is used verbatim, above or below that floor.
     """
     op = A if callable(A) else (lambda v, m=jnp.asarray(A): m @ v)
     if x0 is None:
@@ -128,7 +128,8 @@ def sstep_gmres(
             jnp.maximum(jnp.diagonal(g_mat), jnp.finfo(dtype).tiny)
         )
         g_scaled = g_mat * d[:, None] * d[None, :]
-        ridge = max(rel_ridge, 100.0 * float(jnp.finfo(work_dtype).eps))
+        ridge = (rel_ridge if rel_ridge > 0.0
+                 else 100.0 * float(jnp.finfo(work_dtype).eps))
         g_scaled = g_scaled + ridge * jnp.eye(s, dtype=dtype)
         chol, low = jax.scipy.linalg.cho_factor(g_scaled, lower=True)
         y = d * jax.scipy.linalg.cho_solve((chol, low), d * c_vec)
@@ -147,10 +148,10 @@ def sstep_gmres(
         est = beta * jnp.sqrt(jnp.maximum(est_sq, 0.0))
         return x, est, y_ok
 
-    rel0 = jnp.sqrt(tree_vdot(b - op(x0), b - op(x0))) / jnp.maximum(
-        beta0, tiny
-    )
     w_init, beta_init = precond_residual(x0)
+    # Same norm as the loop criterion (and as gmres._restarted):
+    # preconditioned residual over β₀.
+    rel0 = beta_init / jnp.maximum(beta0, tiny)
     converged0 = (beta0 == 0) | (rel0 < tol)
 
     def cond(carry):
@@ -187,7 +188,9 @@ def sstep_gmres(
     )
     return GmresResult(
         x=x,
-        iterations=jnp.int32(s),
+        # inner iterations of the final cycle (a full cycle always runs
+        # s); 0 when converged at x0 without any cycle.
+        iterations=jnp.where(k > 0, jnp.int32(s), jnp.int32(0)),
         restarts=k,
         residual=rel,
         status=status,
