@@ -29,10 +29,18 @@ set) and can mirror rows to JSONL via --jsonl PATH.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from typing import Callable, Optional
 
 import jax
+
+# The environment may pin a TPU plugin platform that ignores the
+# JAX_PLATFORMS env var unless re-asserted through jax.config (the
+# axon quirk noted in tests/conftest.py) — honor the user's choice.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
 
 jax.config.update("jax_enable_x64", True)
 
@@ -57,13 +65,24 @@ from gmres_tpu.utils.reporting import (  # noqa: E402
 REF_EIG = (0.2, 8.2)
 
 
+def _sync(out):
+    """Force completion. block_until_ready returns early through the
+    remote-TPU (axon) tunnel, so fetch one result scalar instead."""
+    res = getattr(out, "residual", None)
+    if res is not None:
+        float(res)
+    else:
+        jax.block_until_ready(out)
+    return out
+
+
 def _timed(fn: Callable, *args):
     """Compile once, then time one execution (compilation excluded —
     the reference's omp_get_wtime wraps only the solve,
     test_poisson_mf.f90:44-46)."""
-    out = jax.block_until_ready(fn(*args))
+    _sync(fn(*args))
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(*args))
+    out = _sync(fn(*args))
     return out, time.perf_counter() - t0
 
 
