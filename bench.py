@@ -183,6 +183,10 @@ def main():
             op, bb, restart=m, tol=tol, M=m_inv,
             variant="householder", compute_v_err=False,
             inner_dtype=inner_dtype,
+            # Stop on the TRUE unpreconditioned relative residual — the
+            # metric itself (with a deep M the preconditioned norm can
+            # sit on either side of it).
+            certify="true",
         )
     )
     # Sync via a scalar that depends on the whole computation:

@@ -168,6 +168,7 @@ def _restarted(
     mixed: bool,
     breakdown_check: bool,
     basis_init,
+    certify_true: bool = False,
 ):
     dtype = b.dtype
     beta0 = jnp.sqrt(tree_vdot(b, b))
@@ -176,11 +177,27 @@ def _restarted(
     def true_residual(x):
         r = b - A(x)
         w = M(r) if M is not None else r
-        return w, jnp.sqrt(tree_vdot(w, w))
+        beta_w = jnp.sqrt(tree_vdot(w, w))
+        if certify_true:
+            # Certification norm: the UNPRECONDITIONED residual — the
+            # quantity benchmarks and users actually care about; with
+            # a deep polynomial M the preconditioned norm can be a
+            # large factor off in either direction.
+            rel = jnp.sqrt(tree_vdot(r, r)) / jnp.maximum(beta0, tiny)
+        else:
+            rel = beta_w / jnp.maximum(beta0, tiny)
+        return w, beta_w, rel
 
-    w_init, beta_init = true_residual(x0)
-    rel_init = beta_init / jnp.maximum(beta0, tiny)
+    w_init, beta_init, rel_init = true_residual(x0)
     converged0 = (beta0 == 0) | (rel_init < tol)
+
+    def _set_rel(ferr, n_out, rel):
+        """Fold the certified residual into the last active history
+        slot (only when certification overrides the inner estimate —
+        pure reference mode keeps final_err untouched)."""
+        if mixed or certify_true:
+            return ferr.at[jnp.maximum(n_out - 1, 0)].set(rel)
+        return ferr
 
     def cond(carry):
         _, k, _, _, converged, breakdown, *_ = carry
@@ -189,10 +206,9 @@ def _restarted(
     def body(carry):
         x, k, w, beta, _, _, _, _, _ = carry
         x_new, n_out, ferr, h_val, basis = cycle(x, w, beta, beta0)
-        w_new, beta_new = true_residual(x_new)
-        if mixed:
-            rel_true = beta_new / jnp.maximum(beta0, tiny)
-            converged = rel_true < tol
+        w_new, beta_new, rel_new = true_residual(x_new)
+        if mixed or certify_true:
+            converged = rel_new < tol
         else:
             # Reference semantics: trust the inner Givens estimate
             # (gmres_hh.f90:563, gmres_mgsr.f90:409).
@@ -206,7 +222,7 @@ def _restarted(
         # silent — SURVEY §7 quirk 1).
         breakdown = breakdown | ~jnp.isfinite(beta_new)
         return (x_new, k + 1, w_new, beta_new, converged, breakdown,
-                n_out, ferr, basis)
+                n_out, _set_rel(ferr, n_out, rel_new), basis)
 
     carry0 = (
         x0,
@@ -231,10 +247,13 @@ def _restarted(
             jnp.int32(SolverStatus.MAX_ITERATIONS),
         ),
     )
-    if mixed:
-        # The inner estimate is not trustworthy below f32 resolution —
-        # report the true relative residual.
-        residual = beta_last / jnp.maximum(beta0, tiny)
+    if mixed or certify_true:
+        # The inner estimate is not trustworthy below f32 resolution
+        # (and certify_true reports the unpreconditioned norm) — the
+        # final certified value was folded into ferr by the body.
+        residual = jnp.where(
+            k > 0, ferr[jnp.maximum(n_out - 1, 0)], rel_init
+        )
     else:
         residual = jnp.where(
             k > 0, ferr[jnp.maximum(n_out - 1, 0)],
@@ -260,6 +279,7 @@ def _gmres_mgsr(
     check_inner: bool,
     compute_v_err: bool,
     work_dtype,
+    certify_true: bool,
 ) -> GmresResult:
     dtype = b.dtype
     shape = b.shape
@@ -353,6 +373,7 @@ def _gmres_mgsr(
     x, k, n_out, ferr, v_basis, status, residual = _restarted(
         cycle, A, b, x0, m, tol, max_restarts, M, mixed,
         breakdown_check=True, basis_init=basis_init,
+        certify_true=certify_true,
     )
 
     if compute_v_err:
@@ -385,6 +406,7 @@ def _gmres_householder(
     compute_v_err: bool,
     breakdown_check: bool,
     work_dtype,
+    certify_true: bool,
 ) -> GmresResult:
     dtype = b.dtype
     shape = b.shape
@@ -507,6 +529,7 @@ def _gmres_householder(
     x, k, n_out, ferr, (p_basis, t_mat), status, residual = _restarted(
         cycle, A, b, x0, m, tol, max_restarts, M, mixed,
         breakdown_check=breakdown_check, basis_init=basis_init,
+        certify_true=certify_true,
     )
 
     if compute_v_err:
@@ -542,6 +565,7 @@ def gmres(
     breakdown_check: bool = True,
     inner_dtype=None,
     x0: Optional[jnp.ndarray] = None,
+    certify: str = "preconditioned",
 ) -> GmresResult:
     """Solve A x = b with restarted GMRES(restart).
 
@@ -571,7 +595,17 @@ def gmres(
         then certified by the f64 true residual at restart boundaries,
         NOT the inner estimate — same 1e-8 answer, TPU-native speed.
       x0: initial guess, defaults to zeros (all reference drivers use 0).
+      certify: norm for restart-boundary convergence certification.
+        "preconditioned" (default, reference semantics): ‖M(b−Ax)‖/β₀.
+        "true": ‖b−Ax‖/β₀ — the unpreconditioned residual users and
+        benchmarks measure; with a deep polynomial M the two norms
+        differ by large factors, and certifying on the true norm stops
+        exactly when the meaningful quantity crosses tol. Overrides
+        the inner Givens estimate in pure mode too.
     """
+    if certify not in ("preconditioned", "true"):
+        raise ValueError(f"unknown certify {certify}")
+    certify_true = certify == "true"
     op = _as_operator(A)
     if b.size == 1:
         # Degenerate 1×1 system: the Householder machinery needs
@@ -608,6 +642,7 @@ def gmres(
         return _gmres_householder(
             op, b, x0, restart, tol, max_restarts, M,
             check_inner, compute_v_err, breakdown_check, work_dtype,
+            certify_true,
         )
     elif variant == "mgsr":
         if orthogonalization not in ("cgs2", "mgs2"):
@@ -617,5 +652,6 @@ def gmres(
         return _gmres_mgsr(
             op, b, x0, restart, tol, max_restarts, M,
             orthogonalization, check_inner, compute_v_err, work_dtype,
+            certify_true,
         )
     raise ValueError(f"unknown variant {variant}")

@@ -174,3 +174,36 @@ def test_gmres_v_err_matches_golden_definition():
         v_err[1 : n_out + 1],
         rtol=1e-5,  # values live at machine-epsilon scale
     )
+
+
+def test_certify_true_guarantees_unpreconditioned_tol():
+    """certify="true" stops on the unpreconditioned relative residual,
+    which the preconditioned criterion can undershoot (observed 5.2e-8
+    true at tol=1e-8 with a deep polynomial M)."""
+    import gmres_tpu as gt
+
+    n = 48
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    m_inv = gt.chebyshev_preconditioner(op, 0.005, 8.0, order=16)
+    res = gmres(op, b, restart=20, tol=1e-8, M=m_inv,
+                compute_v_err=False, certify="true")
+    assert bool(res.converged)
+    true_rel = float(
+        jnp.linalg.norm((b - op(res.x)).ravel())
+        / jnp.linalg.norm(b.ravel())
+    )
+    assert true_rel <= 1e-8
+    assert abs(float(res.residual) - true_rel) / true_rel < 1e-8
+
+
+def test_certify_rejects_unknown():
+    import pytest
+
+    import gmres_tpu as gt
+
+    n = 8
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    with pytest.raises(ValueError, match="certify"):
+        gmres(op, b, certify="nope")
