@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from gmres_tpu.types import LinearOperator, Preconditioner
@@ -59,22 +60,38 @@ def chebyshev_preconditioner(
         return m_inv
 
     # General order-k Chebyshev semi-iteration for A z ≈ r starting at
-    # z₀ = 0 (Saad, "Iterative Methods", alg. 12.1).
+    # z₀ = 0 (Saad, "Iterative Methods", alg. 12.1). The ρ recurrence
+    # is data-independent, so the per-step coefficients are precomputed
+    # host-side and the sweep is a lax.scan — deep orders (k ≥ 64)
+    # would otherwise unroll k stencils into the traced graph and blow
+    # up compile time inside solver while_loops.
     theta = (hi + lo) / 2.0
     delta = (hi - lo) / 2.0
     sigma1 = theta / delta
-    rho0 = 1.0 / sigma1
+    rho = 1.0 / sigma1
+    steps = []
+    for _ in range(order - 1):
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        steps.append((rho_new * rho, 2.0 * rho_new / delta))
+        rho = rho_new
+    import numpy as _np
+
+    coeffs = jnp.asarray(_np.asarray(steps)) if steps else None
 
     def m_inv(r):
         d0 = r / theta
         z = d0
-        rho = rho0
-        for _ in range(order - 1):
-            rho_new = 1.0 / (2.0 * sigma1 - rho)
+        if coeffs is None:
+            return z
+
+        def sweep(carry, cf):
+            z, d0 = carry
             resid = r - A(z)
-            d0 = rho_new * rho * d0 + 2.0 * rho_new / delta * resid
-            z = z + d0
-            rho = rho_new
+            d0 = cf[0].astype(r.dtype) * d0 \
+                + cf[1].astype(r.dtype) * resid
+            return (z + d0, d0), None
+
+        (z, _), _ = jax.lax.scan(sweep, (z, d0), coeffs)
         return z
 
     return m_inv
