@@ -37,9 +37,11 @@ import jax
 
 # The environment may pin a TPU plugin platform that ignores the
 # JAX_PLATFORMS env var unless re-asserted through jax.config (the
-# axon quirk noted in tests/conftest.py) — honor the user's choice.
+# axon quirk noted in tests/conftest.py) — honor the env, but NEVER
+# override a platform the embedding program (e.g. tests/conftest.py)
+# has already configured explicitly.
 _plat = os.environ.get("JAX_PLATFORMS")
-if _plat:
+if _plat and not jax.config.jax_platforms:
     jax.config.update("jax_platforms", _plat)
 
 jax.config.update("jax_enable_x64", True)

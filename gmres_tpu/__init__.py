@@ -42,6 +42,8 @@ from gmres_tpu.models.poisson import (
     poisson_matrix,
     poisson_apply,
     poisson_operator,
+    poisson_spectral_bounds,
+    tuned_poisson_preconditioner,
 )
 from gmres_tpu.models.hilbert import hilbert_matrix
 from gmres_tpu.models.convection_diffusion import (
@@ -79,6 +81,8 @@ __all__ = [
     "poisson_matrix",
     "poisson_apply",
     "poisson_operator",
+    "poisson_spectral_bounds",
+    "tuned_poisson_preconditioner",
     "hilbert_matrix",
     "convection_diffusion_apply",
     "convection_diffusion_operator",

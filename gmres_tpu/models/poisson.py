@@ -56,6 +56,43 @@ def poisson_operator(nsize: int, flat: bool = False) -> Callable:
     return apply_grid
 
 
+def poisson_spectral_bounds(nsize: int) -> tuple:
+    """Exact extreme eigenvalues of the N²×N² 5-point Laplacian:
+    λ = 4 sin²(iπ/2(N+1)) + 4 sin²(jπ/2(N+1)), i,j ∈ 1..N."""
+    import math
+
+    s_min = math.sin(math.pi / (2 * (nsize + 1)))
+    s_max = math.sin(nsize * math.pi / (2 * (nsize + 1)))
+    return 8.0 * s_min * s_min, 8.0 * s_max * s_max
+
+
+def tuned_poisson_preconditioner(
+    nsize: int, aggressiveness: float = 30.0, use_pallas: str = "auto"
+):
+    """Deep Chebyshev preconditioner auto-sized for an nsize×nsize
+    Poisson grid — the tuned-headline recipe made grid-independent.
+
+    Measured rule (TPU v5e; see docs/DESIGN.md): target the Chebyshev
+    interval at lo ≈ aggressiveness·λ_min (leaving only a handful of
+    low modes for the Krylov iteration) with order ≈ 1.6·√(λ_max/lo),
+    which drives the iteration count to a few dozen regardless of N.
+    Returns (M, order, lo, hi).
+    """
+    import math
+
+    from gmres_tpu.precond.chebyshev import (
+        chebyshev_stencil_preconditioner,
+    )
+
+    lam_min, lam_max = poisson_spectral_bounds(nsize)
+    lo = min(aggressiveness * lam_min, lam_max / 16.0)
+    order = max(2, int(math.ceil(1.6 * math.sqrt(lam_max / lo))))
+    m = chebyshev_stencil_preconditioner(
+        lo, lam_max, order=order, use_pallas=use_pallas
+    )
+    return m, order, lo, lam_max
+
+
 def poisson_matrix(nsize: int, dtype=jnp.float64) -> jnp.ndarray:
     """Dense N²×N² 5-point Laplacian (generate_matrix, poisson.f90:13-30).
 

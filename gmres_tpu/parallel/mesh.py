@@ -55,6 +55,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_grid_vector(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Place an (N, N) grid vector row-sharded over the mesh. N must be
     divisible by the mesh size (pad the grid otherwise)."""
+    n_dev = mesh.devices.size
+    if x.shape[0] % n_dev != 0:
+        raise ValueError(
+            f"grid rows ({x.shape[0]}) must divide evenly across the "
+            f"{n_dev}-device mesh; pad the grid to a multiple of "
+            f"{n_dev} rows (Dirichlet zero-padding preserves the "
+            f"operator on the original region)"
+        )
     return jax.device_put(x, grid_sharding(mesh))
 
 

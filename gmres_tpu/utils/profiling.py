@@ -80,6 +80,23 @@ def measure_bandwidth(
             best = min(best, time.perf_counter() - t0)
         return best
 
+    if jax.default_backend() != "tpu":
+        # Local backends have no dispatch-latency problem — a direct
+        # two-point slope at the requested rep counts is accurate and
+        # keeps CPU test runs fast (the TPU ramp below sizes chains in
+        # SECONDS and made the suite crawl).
+        r1 = max(1, reps)
+        r2 = 2 * r1
+        dt = max((total(r2) - total(r1)) / (r2 - r1), 1e-9)
+        gbps = bytes_moved / dt / 1e9
+        peak = _device_peak_gbps()
+        return {
+            "seconds": dt,
+            "gbps": gbps,
+            "fraction_of_peak": (gbps / peak) if peak else None,
+            "peak_gbps": peak,
+        }
+
     # Two-point slope with chain lengths sized in SECONDS of device
     # work: the per-dispatch constant over a remote-TPU tunnel is
     # ~30 ms with multi-ms jitter, so the two points must sit ≳1 s

@@ -79,3 +79,36 @@ def test_convection_diffusion_zero_gamma_is_poisson():
     a = np.asarray(convection_diffusion_matrix(5, 0.0, 0.0))
     p = np.asarray(poisson_matrix(5))
     np.testing.assert_allclose(a, p)
+
+
+def test_poisson_spectral_bounds_exact():
+    """Bounds match the dense matrix's eigenvalues exactly."""
+    import numpy as np
+
+    from gmres_tpu.models.poisson import (
+        poisson_matrix,
+        poisson_spectral_bounds,
+    )
+
+    n = 10
+    lam = np.linalg.eigvalsh(np.asarray(poisson_matrix(n)))
+    lo, hi = poisson_spectral_bounds(n)
+    np.testing.assert_allclose(lo, lam[0], rtol=1e-12)
+    np.testing.assert_allclose(hi, lam[-1], rtol=1e-12)
+
+
+def test_tuned_poisson_preconditioner_converges():
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gmres_tpu as gt
+
+    n = 48
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    m_inv, order, lo, hi = gt.tuned_poisson_preconditioner(n)
+    assert order >= 2 and lo < hi
+    res = gt.gmres(op, b, restart=20, tol=1e-8, M=m_inv,
+                   compute_v_err=False, certify="true", max_restarts=100)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-5)

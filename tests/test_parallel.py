@@ -69,3 +69,13 @@ def test_bicgstab_sharded(mesh, problem):
     r_sh = f(b_sh)
     assert r_sh.status == SolverStatus.CONVERGED
     assert np.max(np.abs(np.asarray(r_sh.x) - 1.0)) < 1e-7
+
+
+def test_shard_grid_vector_indivisible_error():
+    import pytest
+
+    from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
+
+    mesh = solver_mesh(8)
+    with pytest.raises(ValueError, match="divide evenly"):
+        shard_grid_vector(jnp.ones((10, 10)), mesh)
