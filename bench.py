@@ -162,15 +162,11 @@ def main():
     nsize, tol = args.nsize, args.tol
     op = gt.poisson_operator(nsize)
     if args.config == "tuned":
-        from gmres_tpu.precond.chebyshev import (
-            chebyshev_stencil_preconditioner,
-        )
-
         m = args.m or 20
-        # VMEM-resident fused order-64 application on the f32 (inner)
-        # route; jnp recurrence on the f64 outer-residual route.
-        m_inv = chebyshev_stencil_preconditioner(0.005, 8.0, order=64)
-        cheb_apps = 64  # stencil applications per M application
+        # Deep Chebyshev auto-sized from the grid's exact spectral
+        # bounds (docs/DESIGN.md §1); VMEM-resident fused application
+        # on the f32 route, jnp recurrence on the f64 outer route.
+        m_inv, cheb_apps, _, _ = gt.tuned_poisson_preconditioner(nsize)
     else:
         m = args.m or 50
         m_inv = gt.chebyshev_preconditioner(op, 0.2, 8.2)
