@@ -142,14 +142,17 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument(
-        "--config", choices=["tuned", "reference"], default="tuned",
-        help="tuned = order-64 Chebyshev on [0.005, 8] with m=20 — "
-        "measured optimal on TPU v5e (stencil passes are ~20x cheaper "
-        "than Arnoldi iterations, so a deep polynomial preconditioner "
-        "wins); reference = the reference driver's order-2 Chebyshev "
-        "on (0.2, 8.2) with m=50 (test_poisson_mf.f90:38). Both must "
-        "reach a TRUE unpreconditioned relative residual <= tol, "
-        "verified and reported.",
+        "--config", choices=["mg", "tuned", "reference"],
+        default="mg",
+        help="mg = geometric multigrid V-cycle preconditioner "
+        "(default; grid-independent iterations); tuned = auto-sized "
+        "deep Chebyshev (stencil passes are ~20x cheaper than Arnoldi "
+        "iterations on TPU, so a deep polynomial wins over the "
+        "reference's order-2); reference = the reference driver's "
+        "order-2 Chebyshev on (0.2, 8.2) with m=50 "
+        "(test_poisson_mf.f90:38). All must reach a TRUE "
+        "unpreconditioned relative residual <= tol, verified and "
+        "reported.",
     )
     ap.add_argument(
         "--precision", choices=["mixed", "f64"], default="mixed",
@@ -161,7 +164,17 @@ def main():
 
     nsize, tol = args.nsize, args.tol
     op = gt.poisson_operator(nsize)
-    if args.config == "tuned":
+    if args.config == "mg":
+        m = args.m or 10
+        # Geometric multigrid V-cycle: grid-independent ~15-25 Krylov
+        # iterations, ~19x faster than the deep polynomial at 4096^2
+        # (docs/DESIGN.md scale table). Zero all-reduces added per
+        # iteration.
+        m_inv = gt.poisson_multigrid_preconditioner(nsize)
+        # fine-grid-equivalent stencil sweeps per V-cycle:
+        # (pre+post+2 residuals) * sum(4^-l) ~= 8 * 4/3
+        cheb_apps = 11
+    elif args.config == "tuned":
         m = args.m or 20
         # Deep Chebyshev auto-sized from the grid's exact spectral
         # bounds (docs/DESIGN.md §1); VMEM-resident fused application

@@ -38,6 +38,7 @@ from gmres_tpu.solvers.gmres import gmres
 from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+from gmres_tpu.precond.multigrid import poisson_multigrid_preconditioner
 from gmres_tpu.models.poisson import (
     poisson_matrix,
     poisson_apply,
@@ -78,6 +79,7 @@ __all__ = [
     "lanczos_bounds",
     "power_iteration_bound",
     "chebyshev_preconditioner",
+    "poisson_multigrid_preconditioner",
     "poisson_matrix",
     "poisson_apply",
     "poisson_operator",

@@ -1,0 +1,121 @@
+"""Geometric multigrid V-cycle preconditioner for the 5-point stencil.
+
+Beyond the reference (whose only preconditioner is degree-2 Chebyshev,
+chebyshev.f90:8-38): a deep Chebyshev polynomial needs O(√(λmax/λmin))
+stencil sweeps to reach the lowest modes — O(N) sweeps on an N×N grid —
+while a multigrid V-cycle handles every frequency at the level where it
+is local, costing O(1) sweeps per level and ~4/3 of one fine-grid pass
+in total traffic. For the 16.8M-variable 4096² benchmark this replaces
+an order-256 polynomial per Krylov iteration.
+
+TPU-native construction — every ingredient is communication-free or
+stencil-local, so the whole cycle shards like the operator itself:
+
+* Operators: the SAME unit 5-point stencil (4, −1, −1, −1, −1) at every
+  level. With the h²-scaled convention (A = h²Δ, h folded out), the
+  consistent intergrid pair is **restriction = 2×2 block SUM** (the
+  (2h)²/h² Jacobian absorbed) and **prolongation = 2×2 replication** —
+  pure reshape/broadcast, no gathers, no collectives beyond what the
+  stencil itself needs.
+* Smoothers: Chebyshev on the upper spectrum [λmax/4, λmax] — dot-free
+  (Jacobi-type smoothing would need no dots either, but Chebyshev's
+  optimal damping halves the smoothing sweeps). No reductions anywhere
+  in the V-cycle ⇒ as a preconditioner it adds ZERO all-reduce points
+  to the Krylov loop.
+* The cycle is a fixed linear operator (all smoothers are fixed
+  polynomials), so it is a legal left preconditioner for GMRES, and
+  symmetric enough in practice for CG on the Poisson problem.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from gmres_tpu.ops.stencil import stencil_5pt_apply
+from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+
+
+def restrict_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """(2m, 2m) → (m, m) by 2×2 block SUM (residual transfer for
+    h²-scaled operators: the value average times the area factor 4)."""
+    m0, m1 = x.shape[0] // 2, x.shape[1] // 2
+    return x.reshape(m0, 2, m1, 2).sum(axis=(1, 3))
+
+
+def prolong_repeat(x: jnp.ndarray) -> jnp.ndarray:
+    """(m, m) → (2m, 2m) by replication (value-preserving error
+    transfer, the adjoint pairing of restrict_sum up to the factor 4
+    already absorbed there)."""
+    m0, m1 = x.shape
+    return jnp.broadcast_to(
+        x[:, None, :, None], (m0, 2, m1, 2)
+    ).reshape(2 * m0, 2 * m1)
+
+
+def poisson_multigrid_preconditioner(
+    nsize: int,
+    levels: int | None = None,
+    pre_smooth: int = 3,
+    post_smooth: int = 3,
+    coarse_order: int = 32,
+    lam_max: float = 8.0,
+    smooth_band: float = 4.0,
+) -> Callable:
+    """V-cycle preconditioner z ≈ A⁻¹r for the nsize×nsize Poisson
+    stencil (A = the unit 5-point stencil at every level).
+
+    levels: coarsening depth; default coarsens while the grid is even
+      and > 16. nsize must be divisible by 2^(levels-1).
+    pre/post_smooth: Chebyshev smoothing order on [λmax/band, λmax].
+    coarse_order: Chebyshev order of the coarsest-level solve over the
+      full spectrum of that level's grid.
+    """
+    if levels is None:
+        levels = 1
+        n = nsize
+        while n % 2 == 0 and n > 16:
+            n //= 2
+            levels += 1
+    sizes = [nsize // (2 ** l) for l in range(levels)]
+    for l, n in enumerate(sizes):
+        if l > 0 and sizes[l - 1] != 2 * n:
+            raise ValueError(
+                f"nsize={nsize} not divisible by 2**{levels - 1}"
+            )
+
+    smoother = chebyshev_preconditioner(
+        stencil_5pt_apply, lam_max / smooth_band, lam_max,
+        order=max(pre_smooth, 2), reference_form=False,
+    )
+    post_smoother = chebyshev_preconditioner(
+        stencil_5pt_apply, lam_max / smooth_band, lam_max,
+        order=max(post_smooth, 2), reference_form=False,
+    )
+
+    def coarse_solver_for(n: int) -> Callable:
+        import math
+
+        lam_min = 8.0 * math.sin(math.pi / (2 * (n + 1))) ** 2
+        return chebyshev_preconditioner(
+            stencil_5pt_apply, lam_min, lam_max,
+            order=coarse_order, reference_form=False,
+        )
+
+    coarse_solve = coarse_solver_for(sizes[-1])
+
+    def v_cycle(r: jnp.ndarray, level: int) -> jnp.ndarray:
+        if level == levels - 1:
+            return coarse_solve(r)
+        e = smoother(r)
+        r2 = r - stencil_5pt_apply(e)
+        ec = v_cycle(restrict_sum(r2), level + 1)
+        e = e + prolong_repeat(ec)
+        r3 = r - stencil_5pt_apply(e)
+        return e + post_smoother(r3)
+
+    def m_inv(r: jnp.ndarray) -> jnp.ndarray:
+        return v_cycle(r, 0)
+
+    return m_inv

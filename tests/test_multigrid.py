@@ -1,0 +1,96 @@
+"""Geometric multigrid V-cycle preconditioner: grid-independent
+iteration counts, intergrid transfer properties, solver integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gmres_tpu as gt
+from gmres_tpu.precond.multigrid import (
+    poisson_multigrid_preconditioner,
+    prolong_repeat,
+    restrict_sum,
+)
+
+
+def test_restrict_prolong_shapes_and_adjointness():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 16)))
+    y = jnp.asarray(rng.standard_normal((8, 8)))
+    rx = restrict_sum(x)
+    py = prolong_repeat(y)
+    assert rx.shape == (8, 8)
+    assert py.shape == (16, 16)
+    # <R x, y> = <x, P y>: the pair is exactly adjoint (sum vs repeat).
+    np.testing.assert_allclose(
+        float(jnp.sum(rx * y)), float(jnp.sum(x * py)), rtol=1e-13
+    )
+
+
+def test_restrict_sum_values():
+    x = jnp.arange(16.0).reshape(4, 4)
+    r = restrict_sum(x)
+    assert float(r[0, 0]) == 0 + 1 + 4 + 5
+
+
+@pytest.mark.parametrize("n", [64, 128])
+def test_mg_pcg_grid_independent_iterations(n):
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    m_inv = poisson_multigrid_preconditioner(n)
+    res = gt.cg(op, b, tol=1e-9, max_iterations=100, M=m_inv)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 15  # O(1) in N — the point of MG
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-7)
+
+
+def test_mg_gmres_true_residual():
+    n = 128
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    m_inv = poisson_multigrid_preconditioner(n)
+    res = gt.gmres(op, b, restart=10, tol=1e-8, M=m_inv,
+                   certify="true", compute_v_err=False, max_restarts=50)
+    assert bool(res.converged)
+    assert float(res.residual) <= 1e-8
+
+
+def test_mg_mixed_precision():
+    n = 64
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    m_inv = poisson_multigrid_preconditioner(n)
+    res = gt.gmres(op, b, restart=10, tol=1e-8, M=m_inv,
+                   inner_dtype=jnp.float32, certify="true",
+                   compute_v_err=False, max_restarts=50)
+    assert bool(res.converged)
+
+
+def test_mg_odd_coarsening_stops():
+    """300 → 150 → 75 (odd): auto depth stops there."""
+    m_inv = poisson_multigrid_preconditioner(300)
+    r = jnp.ones((300, 300))
+    z = m_inv(r)
+    assert z.shape == (300, 300)
+    assert bool(jnp.all(jnp.isfinite(z)))
+
+
+def test_mg_invalid_levels_raise():
+    with pytest.raises(ValueError, match="divisible"):
+        poisson_multigrid_preconditioner(30, levels=4)
+
+
+def test_mg_sharded_parity():
+    from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
+
+    mesh = solver_mesh(8)
+    n = 64
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    m_inv = poisson_multigrid_preconditioner(n, levels=2)
+    plain = gt.cg(op, b, tol=1e-9, max_iterations=100, M=m_inv)
+    sharded = jax.jit(
+        lambda v: gt.cg(op, v, tol=1e-9, max_iterations=100, M=m_inv)
+    )(shard_grid_vector(b, mesh))
+    assert int(plain.iterations) == int(sharded.iterations)
