@@ -165,12 +165,12 @@ def cmd_poisson_mf(args):
             )
         )
         res, dt = _timed(fn, b)
-        iters = int(res.restarts) * m + int(res.iterations)
+        iters = max(int(res.restarts) - 1, 0) * m + int(res.iterations)
         records.append(
             record_from_result(
                 f"gmres-{variant}-mf{'-f32' if args.mixed else ''}",
                 res, x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
-                nnz=5 * n * n,
+                nnz=5 * n * n - 4 * n,
                 extra={"matvecs": 2 * iters, "total_iters": iters},
             )
         )
@@ -196,7 +196,7 @@ def _sweep(args, solver_name: str):
             record_from_result(
                 f"p{solver_name}-{n}x{n}", res,
                 x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
-                nnz=5 * n * n,
+                nnz=5 * n * n - 4 * n,
                 extra={
                     "matvecs": matvecs_per_iter * int(res.iterations)
                 },
@@ -228,7 +228,7 @@ def cmd_convdiff(args):
             record_from_result(
                 f"bicgstab-convdiff-{n}x{n}", res,
                 x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
-                nnz=5 * n * n,
+                nnz=5 * n * n - 4 * n,
                 extra={"matvecs": 2 * int(res.iterations)},
             )
         ],
@@ -263,11 +263,13 @@ def cmd_strong_scaling(args):
         records.append(
             record_from_result(
                 f"gmres-mgsr-{d}dev", res, wall_s=dt, tol=args.tol,
-                nnz=5 * n * n,
+                nnz=5 * n * n - 4 * n,
                 extra={
                     "devices": d,
                     "speedup": base_t / dt,
                     "efficiency": base_t / dt / d,
+                    "total_iters": max(int(res.restarts) - 1, 0) * m
+                    + int(res.iterations),
                 },
             )
         )
@@ -296,13 +298,13 @@ def cmd_weak_scaling(args):
             )
         )
         res, dt = _timed(fn, b)
-        iters = int(res.restarts) * m + int(res.iterations)
+        iters = max(int(res.restarts) - 1, 0) * m + int(res.iterations)
         per_iter = dt / max(iters, 1)
         base = base or per_iter
         records.append(
             record_from_result(
                 f"gmres-mgsr-{d}dev-{n}x{n}", res, wall_s=dt,
-                tol=args.tol, nnz=5 * n * n,
+                tol=args.tol, nnz=5 * n * n - 4 * n,
                 extra={
                     "devices": d,
                     "time_per_iter": per_iter,
@@ -335,8 +337,12 @@ def cmd_restart_sweep(args):
         records.append(
             record_from_result(
                 f"gmres-hh-m{m}", res, x_true=jnp.ones((n, n)),
-                wall_s=dt, tol=args.tol, nnz=5 * n * n,
-                extra={"restart_m": m},
+                wall_s=dt, tol=args.tol, nnz=5 * n * n - 4 * n,
+                extra={
+                    "restart_m": m,
+                    "total_iters": max(int(res.restarts) - 1, 0) * m
+                    + int(res.iterations),
+                },
             )
         )
     _emit(records, args)
@@ -420,7 +426,9 @@ def cmd_spmv(args):
                   kernel_nnz=bsr_nnz)
     # Throughput table (the standard table's ms resolution hides
     # microsecond kernels).
-    if jax.process_index() == 0:
+    from gmres_tpu.utils.reporting import is_host0
+
+    if is_host0():
         print(f"{'kernel':<22} {'us/apply':>10} {'Gnnz/s':>9}")
         for r in records:
             print(f"{r.name:<22} {r.wall_s * 1e6:>10.2f} "
@@ -445,7 +453,9 @@ def build_parser() -> argparse.ArgumentParser:
     def add(name, fn, **defaults):
         sp_ = sub.add_parser(name)
         sp_.set_defaults(func=fn)
-        sp_.add_argument("--jsonl")
+        # SUPPRESS: without it the subparser's default would clobber a
+        # top-level --jsonl given before the subcommand.
+        sp_.add_argument("--jsonl", default=argparse.SUPPRESS)
         for k, v in defaults.items():
             flag = "--" + k.replace("_", "-")
             if isinstance(v, bool):

@@ -87,11 +87,11 @@ def poisson_multigrid_preconditioner(
 
     smoother = chebyshev_preconditioner(
         stencil_5pt_apply, lam_max / smooth_band, lam_max,
-        order=max(pre_smooth, 2), reference_form=False,
+        order=max(pre_smooth, 1), reference_form=False,
     )
     post_smoother = chebyshev_preconditioner(
         stencil_5pt_apply, lam_max / smooth_band, lam_max,
-        order=max(post_smooth, 2), reference_form=False,
+        order=max(post_smooth, 1), reference_form=False,
     )
 
     def coarse_solver_for(n: int) -> Callable:

@@ -52,14 +52,18 @@ class RunRecord:
         unless extra['matvecs'] overrides)."""
         if not self.nnz or not self.wall_s:
             return None
-        matvecs = (self.extra or {}).get("matvecs", self.iterations)
+        matvecs = (self.extra or {}).get(
+            "matvecs",
+            (self.extra or {}).get("total_iters", self.iterations),
+        )
         return self.nnz * matvecs / self.wall_s
 
     @property
     def iters_per_s(self) -> Optional[float]:
         if not self.wall_s:
             return None
-        return self.iterations / self.wall_s
+        total = (self.extra or {}).get("total_iters", self.iterations)
+        return total / self.wall_s
 
     def to_json(self) -> dict:
         d = {

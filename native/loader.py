@@ -27,11 +27,20 @@ def _build() -> str:
         tag = hashlib.sha256(f.read()).hexdigest()[:12]
     so = os.path.join(_DIR, f"libkrylov_ref_{tag}.so")
     if not os.path.exists(so):
+        # Build to a unique temp name and rename atomically: a partial
+        # .so from an interrupted or racing compile must never satisfy
+        # the existence check.
+        tmp = f"{so}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-funroll-loops", "-fopenmp",
-            "-shared", "-fPIC", "-o", so, _SRC,
+            "-shared", "-fPIC", "-o", tmp, _SRC,
         ]
-        subprocess.run(cmd, check=True, capture_output=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"native baseline compile failed:\n{proc.stderr}"
+            )
+        os.replace(tmp, so)
     return so
 
 
