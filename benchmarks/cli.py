@@ -35,13 +35,17 @@ from typing import Callable, Optional
 
 import jax
 
-# The environment may pin a TPU plugin platform that ignores the
-# JAX_PLATFORMS env var unless re-asserted through jax.config (the
-# axon quirk noted in tests/conftest.py) — honor the env, but NEVER
-# override a platform the embedding program (e.g. tests/conftest.py)
-# has already configured explicitly.
+# The TPU plugin ignores JAX_PLATFORMS from the environment: it
+# PREPENDS itself to jax.config.jax_platforms (observed value
+# 'axon,cpu' even with JAX_PLATFORMS=cpu), so `JAX_PLATFORMS=cpu
+# python -m benchmarks.cli ...` would silently run on the TPU.
+# Re-assert the env through jax.config — but ONLY when the config
+# still carries the plugin-mangled default; a platform configured
+# explicitly by an embedding program (tests/conftest.py sets 'cpu')
+# must never be overridden.
 _plat = os.environ.get("JAX_PLATFORMS")
-if _plat and not jax.config.jax_platforms:
+_cfg = jax.config.jax_platforms or ""
+if _plat and _cfg != _plat and _cfg.startswith("axon"):
     jax.config.update("jax_platforms", _plat)
 
 jax.config.update("jax_enable_x64", True)
