@@ -50,10 +50,7 @@ def poisson_operator(nsize: int, flat: bool = False) -> Callable:
         def apply_flat(x: jnp.ndarray) -> jnp.ndarray:
             return stencil_5pt_apply(x.reshape(nsize, nsize)).reshape(-1)
         return apply_flat
-
-    def apply_grid(x: jnp.ndarray) -> jnp.ndarray:
-        return stencil_5pt_apply(x)
-    return apply_grid
+    return stencil_5pt_apply
 
 
 def poisson_spectral_bounds(nsize: int) -> tuple:

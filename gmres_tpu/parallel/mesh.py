@@ -35,6 +35,11 @@ def solver_mesh(
     solver bodies."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devs)} "
+                f"available"
+            )
         devs = devs[:n_devices]
     return jax.make_mesh(
         (len(devs),), (GRID_AXIS,), axis_types=(AxisType.Auto,),
@@ -55,13 +60,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_grid_vector(x: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Place an (N, N) grid vector row-sharded over the mesh. N must be
     divisible by the mesh size (pad the grid otherwise)."""
-    n_dev = mesh.devices.size
-    if x.shape[0] % n_dev != 0:
+    n_rows_shards = dict(
+        zip(mesh.axis_names, mesh.devices.shape)
+    ).get(GRID_AXIS, mesh.devices.size)
+    if x.shape[0] % n_rows_shards != 0:
         raise ValueError(
             f"grid rows ({x.shape[0]}) must divide evenly across the "
-            f"{n_dev}-device mesh; pad the grid to a multiple of "
-            f"{n_dev} rows (Dirichlet zero-padding preserves the "
-            f"operator on the original region)"
+            f"{n_rows_shards}-way '{GRID_AXIS}' mesh axis; pad the "
+            f"grid to a multiple of {n_rows_shards} rows (Dirichlet "
+            f"zero-padding preserves the operator on the original "
+            f"region)"
         )
     return jax.device_put(x, grid_sharding(mesh))
 

@@ -159,7 +159,7 @@ def chebyshev_from_lanczos(
     order: int = 2,
     lanczos_steps: int = 20,
     safety: float = 1.05,
-    floor: float = 0.0,
+    floor: Optional[float] = None,
 ) -> Preconditioner:
     """Build the Chebyshev preconditioner with bounds estimated by
     Lanczos — the capability the reference README claims ("spectral
@@ -169,7 +169,13 @@ def chebyshev_from_lanczos(
     """
     from gmres_tpu.solvers.lanczos import lanczos_bounds
 
-    lo, hi = lanczos_bounds(A, probe, steps=lanczos_steps)
-    lo = max(float(lo) / safety, floor)
+    # Estimate mode for the lower end: the rigorous lower bound is
+    # typically 0 after few steps (unprovable), which would degenerate
+    # the Chebyshev interval; the Ritz estimate is the usable target.
+    lo, hi = lanczos_bounds(A, probe, steps=lanczos_steps,
+                            rigorous=False)
     hi = float(hi) * safety
+    if floor is None:
+        floor = hi * 1e-8
+    lo = max(float(lo) / safety, floor)
     return chebyshev_preconditioner(A, lo, hi, order=order)

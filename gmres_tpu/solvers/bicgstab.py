@@ -135,6 +135,8 @@ def bicgstab(
     (i, x, r, p, _), status, history = jax.lax.while_loop(cond, body, carry)
     res = jnp.where(i > 0, history[jnp.maximum(i - 1, 0)],
                     jnp.sqrt(rr0_init))
+    # Pad past convergence with the final residual (documented contract).
+    history = jnp.where(jnp.arange(max_iterations) < i, history, res)
     return SolveResult(
         x=x,
         iterations=i,

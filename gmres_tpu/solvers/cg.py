@@ -147,6 +147,11 @@ def cg(
     (i, x, r, z, p, res, status), history = jax.lax.while_loop(
         cond_hist, body_hist, (state, history)
     )
+    # Pad past convergence with the final residual (the documented
+    # contract of SolveResult.residual_history).
+    history = jnp.where(
+        jnp.arange(max_iterations) < i, history, res
+    )
     return SolveResult(
         x=x,
         iterations=i,
@@ -248,6 +253,7 @@ def _pipelined_cg(
         cond, body, carry
     )
     res = jnp.where(i > 0, history[jnp.maximum(i - 1, 0)], res0)
+    history = jnp.where(jnp.arange(max_iterations) < i, history, res)
     return SolveResult(
         x=x,
         iterations=i,

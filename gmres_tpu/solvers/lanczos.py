@@ -28,15 +28,31 @@ def lanczos_bounds(
     A: LinearOperator,
     probe: jnp.ndarray,
     steps: int = 20,
+    rigorous: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Estimate (λ_min, λ_max) of symmetric A by k-step Lanczos.
 
     probe: any nonzero start vector (deterministic — no RNG inside, so
     results are reproducible and jit-friendly).
-    Returns the extreme Ritz values, widened by the final residual
-    coupling β_k so they bracket the true extremes for SPD operators.
+
+    The extreme Ritz values are widened by the per-pair residual bound
+    β_k·|last eigenvector component| — the rigorous Ritz-pair error
+    bound (widening by the full β_k, a common shortcut, collapses the
+    lower bound to 0 whenever β_k ≳ λ_min, which is always the case
+    for discrete Laplacians).
+
+    rigorous=False replaces the widened lower bound with the raw
+    smallest Ritz value — an ESTIMATE (may exceed the true λ_min), the
+    right quantity for sizing preconditioner intervals.
+
+    Breakdown (β = 0: invariant subspace exhausted) freezes the
+    recurrence and pads the remaining tridiagonal diagonal with the
+    first Rayleigh quotient — a value guaranteed inside the spectral
+    interval, so padding never widens the extremes (a zero-padded
+    diagonal would inject spurious 0 eigenvalues).
     """
     dtype = probe.dtype
+    eps = jnp.finfo(dtype).eps
     v = probe / jnp.sqrt(tree_vdot(probe, probe))
     v_prev = jnp.zeros_like(v)
 
@@ -44,20 +60,28 @@ def lanczos_bounds(
     betas = jnp.zeros((steps,), dtype=dtype)  # betas[i] couples i→i+1
 
     def body(i, carry):
-        v, v_prev, beta_prev, alphas, betas = carry
+        v, v_prev, beta_prev, alphas, betas, dead, scale = carry
         w = A(v) - beta_prev * v_prev
         alpha = tree_vdot(w, v)
         w = w - alpha * v
-        # Full reorthogonalization is overkill for bounds; one step of
-        # deflation against v_prev keeps the recurrence stable enough.
         beta = jnp.sqrt(tree_vdot(w, w))
-        v_next = w / jnp.where(beta > 0, beta, 1.0)
-        alphas = alphas.at[i].set(alpha)
-        betas = betas.at[i].set(beta)
-        return (v_next, v, beta, alphas, betas)
+        scale = jnp.maximum(scale, jnp.abs(alpha) + beta)
+        broke = beta <= 16.0 * eps * scale
+        alpha_eff = jnp.where(dead, alphas[0], alpha)
+        beta_eff = jnp.where(dead | broke, 0.0, beta)
+        v_next = jnp.where(
+            dead | broke,
+            jnp.zeros_like(v),
+            w / jnp.where(beta > 0, beta, 1.0),
+        )
+        alphas = alphas.at[i].set(alpha_eff)
+        betas = betas.at[i].set(beta_eff)
+        return (v_next, v, beta_eff, alphas, betas, dead | broke, scale)
 
-    _, _, beta_last, alphas, betas = jax.lax.fori_loop(
-        0, steps, body, (v, v_prev, jnp.zeros((), dtype), alphas, betas)
+    _, _, beta_last, alphas, betas, _, _ = jax.lax.fori_loop(
+        0, steps, body,
+        (v, v_prev, jnp.zeros((), dtype), alphas, betas,
+         jnp.array(False), jnp.zeros((), dtype)),
     )
 
     tri = (
@@ -65,9 +89,17 @@ def lanczos_bounds(
         + jnp.diag(betas[:-1], k=1)
         + jnp.diag(betas[:-1], k=-1)
     )
-    ritz = jnp.linalg.eigvalsh(tri)
-    lo = jnp.maximum(ritz[0] - beta_last, 0.0)
-    hi = ritz[-1] + beta_last
+    ritz, vecs = jnp.linalg.eigh(tri)
+    resid = beta_last * jnp.abs(vecs[-1, :])
+    if rigorous:
+        lo = jnp.maximum(ritz[0] - resid[0], 0.0)
+    else:
+        # Estimate mode: the raw smallest Ritz value. Lanczos converges
+        # to λ_min slowly, so the rigorous lower bound is often 0 ("not
+        # provable from k steps") while the Ritz value itself is the
+        # useful target for preconditioner intervals.
+        lo = ritz[0]
+    hi = ritz[-1] + resid[-1]
     return lo, hi
 
 
@@ -76,7 +108,9 @@ def power_iteration_bound(
     probe: jnp.ndarray,
     steps: int = 50,
 ) -> jnp.ndarray:
-    """Spectral-radius estimate by power iteration (Rayleigh quotient)."""
+    """Spectral-radius estimate by power iteration: |Rayleigh quotient|
+    of the converged iterate (abs: a dominant NEGATIVE eigenvalue must
+    still yield a positive radius)."""
     v = probe / jnp.sqrt(tree_vdot(probe, probe))
 
     def body(_, v):
@@ -84,4 +118,4 @@ def power_iteration_bound(
         return w / jnp.sqrt(tree_vdot(w, w))
 
     v = jax.lax.fori_loop(0, steps, body, v)
-    return tree_vdot(v, A(v)) / tree_vdot(v, v)
+    return jnp.abs(tree_vdot(v, A(v)) / tree_vdot(v, v))

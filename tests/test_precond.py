@@ -1,5 +1,6 @@
 """Chebyshev preconditioner + Lanczos bounds."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,3 +101,51 @@ def test_chebyshev_from_lanczos_end_to_end():
     pre = cg(poisson_apply, b, tol=1e-9, max_iterations=10_000, M=m_inv)
     assert pre.status == SolverStatus.CONVERGED
     assert int(pre.iterations) < int(plain.iterations)
+
+
+def test_lanczos_breakdown_exact_operator():
+    """Invariant subspace at step 1 (A = 2I): exact bounds, no spurious
+    zero eigenvalues from padding."""
+    lo, hi = lanczos_bounds(lambda x: 2.0 * x, jnp.ones((4, 4)), steps=10)
+    np.testing.assert_allclose(float(lo), 2.0, rtol=1e-12)
+    np.testing.assert_allclose(float(hi), 2.0, rtol=1e-12)
+
+
+def test_power_iteration_negative_dominant():
+    import gmres_tpu as gt
+
+    probe = jnp.asarray(
+        np.random.default_rng(1).standard_normal((16, 16))
+    )
+    r = power_iteration_bound(lambda x: -gt.poisson_apply(x), probe)
+    assert float(r) > 0
+
+
+def test_lanczos_estimate_mode_nonzero_lo():
+    import gmres_tpu as gt
+
+    probe = jnp.asarray(
+        np.random.default_rng(2).standard_normal((48, 48))
+    )
+    lo, hi = lanczos_bounds(gt.poisson_apply, probe, steps=30,
+                            rigorous=False)
+    assert float(lo) > 0.0
+    assert float(hi) >= 7.5
+
+
+def test_lanczos_sharded_parity():
+    """CPU-mesh sharded run matches the single-device bounds exactly
+    (CLAUDE.md testing convention)."""
+    import gmres_tpu as gt
+    from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
+
+    mesh = solver_mesh(8)
+    probe = jnp.asarray(
+        np.random.default_rng(3).standard_normal((32, 32))
+    )
+    lo1, hi1 = lanczos_bounds(gt.poisson_apply, probe, steps=20)
+    lo2, hi2 = jax.jit(
+        lambda p: lanczos_bounds(gt.poisson_apply, p, steps=20)
+    )(shard_grid_vector(probe, mesh))
+    np.testing.assert_allclose(float(lo1), float(lo2), rtol=1e-10)
+    np.testing.assert_allclose(float(hi1), float(hi2), rtol=1e-10)
