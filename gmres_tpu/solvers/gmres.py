@@ -344,7 +344,17 @@ def _gmres_mgsr(
         giv = giv._replace(beta0=beta0)
         hmat = jnp.zeros((m + 1, m), dtype=dtype)
         ferr = jnp.zeros((m,), dtype=dtype)
-        if mixed:
+        if certify_true:
+            # Certification happens in a DIFFERENT norm (the
+            # unpreconditioned residual) — the inner preconditioned
+            # estimate must not treat tol as its own floor, or cycles
+            # degenerate to single iterations once the preconditioned
+            # residual dips below tol while the true residual is still
+            # above it (observed: 1000 spinning restarts). Floor on
+            # per-cycle PROGRESS only: stop when the work dtype can no
+            # longer improve this cycle's correction.
+            inner_floor = (beta / beta0) * inner_gain
+        elif mixed:
             inner_floor = jnp.maximum(
                 jnp.asarray(tol, dtype), (beta / beta0) * inner_gain
             )
@@ -494,7 +504,17 @@ def _gmres_householder(
         giv = giv._replace(beta0=beta0)
         hmat = jnp.zeros((m + 1, m), dtype=dtype)
         ferr = jnp.zeros((m,), dtype=dtype)
-        if mixed:
+        if certify_true:
+            # Certification happens in a DIFFERENT norm (the
+            # unpreconditioned residual) — the inner preconditioned
+            # estimate must not treat tol as its own floor, or cycles
+            # degenerate to single iterations once the preconditioned
+            # residual dips below tol while the true residual is still
+            # above it (observed: 1000 spinning restarts). Floor on
+            # per-cycle PROGRESS only: stop when the work dtype can no
+            # longer improve this cycle's correction.
+            inner_floor = (beta / beta0) * inner_gain
+        elif mixed:
             inner_floor = jnp.maximum(
                 jnp.asarray(tol, dtype), (beta / beta0) * inner_gain
             )
