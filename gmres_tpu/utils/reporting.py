@@ -122,7 +122,7 @@ def record_from_result(
 
 
 _COLUMNS = (
-    ("name", "{:<22}", 22),
+    ("name", "{:<26}", 26),
     ("nvars", "{:>9}", 9),
     ("iterations", "{:>6}", 6),
     ("restarts", "{:>5}", 5),

@@ -18,6 +18,8 @@ from benchmarks.cli import main
         ["hilbert", "--n", "8", "--restart", "8", "--tol", "1e-14"],
         ["poisson-mf", "--nsize", "24", "--restart", "20",
          "--tol", "1e-10", "--no-v-err"],
+        ["poisson-mf", "--nsize", "24", "--restart", "20",
+         "--tol", "1e-9", "--no-v-err", "--mixed"],
         ["cg", "--grids", "16:24:8", "--tol", "1e-8"],
         ["bicgstab", "--grids", "16:16:8", "--tol", "1e-8"],
         ["convdiff", "--nsize", "16", "--tol", "1e-8"],
