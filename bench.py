@@ -27,6 +27,13 @@ import numpy as np
 
 import jax
 
+# Honor JAX_PLATFORMS from the environment over the TPU plugin's
+# self-prepended default ('axon,...'), mirroring benchmarks/cli.py.
+_plat = os.environ.get("JAX_PLATFORMS")
+_cfg = jax.config.jax_platforms or ""
+if _plat and _cfg != _plat and _cfg.startswith("axon"):
+    jax.config.update("jax_platforms", _plat)
+
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
