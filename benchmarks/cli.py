@@ -221,9 +221,15 @@ def cmd_convdiff(args):
     n = args.nsize
     op = gt.convection_diffusion_operator(n, args.gamma_x, args.gamma_y)
     b = op(jnp.ones((n, n)))
+    m_inv = None
+    if args.precond == "mg":
+        m_inv = gt.convection_diffusion_multigrid_preconditioner(
+            n, args.gamma_x, args.gamma_y
+        )
     fn = jax.jit(
         lambda bb: gt.bicgstab(
-            op, bb, tol=args.tol, max_iterations=args.max_iterations
+            op, bb, tol=args.tol, max_iterations=args.max_iterations,
+            M=m_inv,
         )
     )
     res, dt = _timed(fn, b)
@@ -478,7 +484,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("bicgstab", cmd_bicgstab, grids="300:1000:50", tol=1e-9,
         max_iterations=10_000)
     add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
-        tol=1e-9, max_iterations=10_000)
+        tol=1e-9, max_iterations=10_000, precond="none")
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

