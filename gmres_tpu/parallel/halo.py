@@ -114,6 +114,39 @@ def halo_stencil_operator(
     return apply
 
 
+def rdma_stencil_operator(
+    mesh: Mesh,
+    coefs=LAPLACE_COEFS,
+    axis: str = GRID_AXIS,
+    interpret: bool = False,
+    detect_races: bool = False,
+) -> Callable:
+    """Matrix-free 5-point stencil whose halo exchange is an in-kernel
+    Pallas remote DMA (ops/stencil_rdma.py) instead of ppermute: the
+    two one-row ICI transfers are overlapped with the interior compute
+    by the kernel's own instruction order. Same LinearOperator contract
+    and boundary semantics as :func:`halo_stencil_operator`; f32/bf16
+    only (Mosaic). ``interpret=True`` runs the simulated-RDMA TPU
+    interpret mode (the single-chip test route)."""
+    from gmres_tpu.ops.stencil_rdma import stencil_5pt_rdma
+
+    spec = P(axis, None)
+    num = mesh.shape[axis]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=spec, out_specs=spec,
+        check_vma=False,
+    )
+    def apply(blk):
+        carr = jnp.asarray(coefs, dtype=blk.dtype)
+        return stencil_5pt_rdma(
+            blk, carr, axis=axis, num_devices=num, interpret=interpret,
+            detect_races=detect_races,
+        )
+
+    return apply
+
+
 def halo_poisson_operator(
     mesh: Mesh, use_pallas: bool = False, interpret: bool = False
 ) -> Callable:
