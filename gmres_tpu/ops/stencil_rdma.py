@@ -108,14 +108,20 @@ def _rdma_halo_kernel(
         halo_ref[_BOT : _BOT + 1, :] = zero_row
 
     # Interior compute — every term available locally — overlaps the
-    # in-flight DMAs.
-    c0, cw, ce, cs, cn = (coef_ref[i] for i in range(5))
+    # in-flight DMAs. The result is the affine form a·x + b·A(x):
+    # (a, b) = (0, 1) is the plain stencil; the degree-2 Chebyshev
+    # application z = r/d + α(r − A(r)/d) is (1/d + α, −α/d)
+    # (chebyshev.f90:27-37 collapsed by linearity), fusing the whole
+    # preconditioner into this one exchange + pass.
+    c0, cw, ce, cs, cn, a, b = (coef_ref[i] for i in range(7))
     x = x_ref[:]
     left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
     right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
     up_loc = jnp.pad(x[:-1, :], ((1, 0), (0, 0)))
     down_loc = jnp.pad(x[1:, :], ((0, 1), (0, 0)))
-    o_ref[:] = c0 * x + cw * left + ce * right + cs * up_loc + cn * down_loc
+    o_ref[:] = a * x + b * (
+        c0 * x + cw * left + ce * right + cs * up_loc + cn * down_loc
+    )
 
     # Drain semaphores: sends so the buffers may be reused after the
     # kernel, receives before the halo-dependent corrections below.
@@ -136,9 +142,9 @@ def _rdma_halo_kernel(
         up.wait_recv()  # my bottom halo, from chip my+1's up-copy
 
     # The only ops data-dependent on the transfers: boundary rows.
-    o_ref[0:1, :] = o_ref[0:1, :] + cs * halo_ref[_TOP : _TOP + 1, :]
+    o_ref[0:1, :] = o_ref[0:1, :] + (b * cs) * halo_ref[_TOP : _TOP + 1, :]
     o_ref[rows - 1 : rows, :] = (
-        o_ref[rows - 1 : rows, :] + cn * halo_ref[_BOT : _BOT + 1, :]
+        o_ref[rows - 1 : rows, :] + (b * cn) * halo_ref[_BOT : _BOT + 1, :]
     )
 
 
@@ -158,12 +164,14 @@ def stencil_5pt_rdma(
     interpret: bool = False,
     detect_races: bool = False,
 ) -> jnp.ndarray:
-    """Per-shard stencil with in-kernel RDMA halo exchange.
+    """Per-shard affine stencil a·x + b·A(x) with in-kernel RDMA halos.
 
     Must be called inside ``shard_map`` over a 1-D mesh axis ``axis``
     of size ``num_devices`` with the grid row-partitioned. ``coefs`` is
-    the (5,) array (center, west, east, south, north) in the block
-    dtype (f32/bf16 — Mosaic has no f64 vector path).
+    the (7,) array (center, west, east, south, north, a, b) in the
+    block dtype (f32/bf16 — Mosaic has no f64 vector path); (a, b) =
+    (0, 1) gives the plain stencil, (1/d + α, −α/d) the fused degree-2
+    Chebyshev application.
     """
     interp = (
         pltpu.InterpretParams(

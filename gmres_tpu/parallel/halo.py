@@ -138,13 +138,51 @@ def rdma_stencil_operator(
         check_vma=False,
     )
     def apply(blk):
-        carr = jnp.asarray(coefs, dtype=blk.dtype)
+        carr = jnp.asarray([*coefs, 0.0, 1.0], dtype=blk.dtype)
         return stencil_5pt_rdma(
             blk, carr, axis=axis, num_devices=num, interpret=interpret,
             detect_races=detect_races,
         )
 
     return apply
+
+
+def rdma_chebyshev_preconditioner(
+    mesh: Mesh,
+    lam_min: float,
+    lam_max: float,
+    coefs=LAPLACE_COEFS,
+    axis: str = GRID_AXIS,
+    interpret: bool = False,
+) -> Callable:
+    """Degree-2 Chebyshev preconditioner as ONE RDMA stencil kernel.
+
+    By linearity z = r/d + α(r − A(r)/d) = (1/d + α)·r − (α/d)·A(r),
+    so the whole cbpr2 application (chebyshev.f90:27-37) is the affine
+    form of :func:`gmres_tpu.ops.stencil_rdma.stencil_5pt_rdma`: one
+    in-kernel halo exchange, one VMEM pass, zero reductions. Pairs with
+    :func:`rdma_stencil_operator` for a preconditioned solve whose
+    entire per-iteration communication is kernel-issued RDMA plus the
+    solver's psum reductions."""
+    from gmres_tpu.ops.fused import chebyshev_ref_scalars
+    from gmres_tpu.ops.stencil_rdma import stencil_5pt_rdma
+
+    d, alpha = chebyshev_ref_scalars(lam_min, lam_max)
+    a, b = 1.0 / d + alpha, -alpha / d
+    spec = P(axis, None)
+    num = mesh.shape[axis]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=spec, out_specs=spec,
+        check_vma=False,
+    )
+    def m_inv(r_blk):
+        carr = jnp.asarray([*coefs, a, b], dtype=r_blk.dtype)
+        return stencil_5pt_rdma(
+            r_blk, carr, axis=axis, num_devices=num, interpret=interpret
+        )
+
+    return m_inv
 
 
 def halo_poisson_operator(

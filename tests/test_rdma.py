@@ -15,7 +15,11 @@ from gmres_tpu.models.convection_diffusion import (
     convection_diffusion_apply,
     convection_diffusion_coefs,
 )
-from gmres_tpu.parallel.halo import rdma_stencil_operator
+from gmres_tpu.parallel.halo import (
+    halo_chebyshev_preconditioner,
+    rdma_chebyshev_preconditioner,
+    rdma_stencil_operator,
+)
 from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
 
 
@@ -60,6 +64,36 @@ def test_rdma_race_free(mesh):
     np.testing.assert_allclose(
         y, gt.poisson_apply(x), rtol=1e-5, atol=1e-5
     )
+
+
+def test_rdma_chebyshev_matches_ppermute_route(mesh):
+    """The affine-fused RDMA preconditioner equals the ppermute-route
+    fused Chebyshev (same math, kernel-level comms)."""
+    n = 32
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    r_sh = shard_grid_vector(r, mesh)
+    m_rdma = rdma_chebyshev_preconditioner(mesh, 0.2, 8.2, interpret=True)
+    m_ref = halo_chebyshev_preconditioner(mesh, 0.2, 8.2)
+    np.testing.assert_allclose(
+        m_rdma(r_sh), m_ref(r_sh.astype(jnp.float64)).astype(jnp.float32),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_rdma_preconditioned_gmres(mesh):
+    """Full preconditioned GMRES where BOTH the operator and the
+    preconditioner communicate via in-kernel RDMA."""
+    n = 32
+    a = rdma_stencil_operator(mesh, interpret=True)
+    m = rdma_chebyshev_preconditioner(mesh, 0.2, 8.2, interpret=True)
+    b = shard_grid_vector(
+        gt.poisson_apply(jnp.ones((n, n))).astype(jnp.float32), mesh
+    )
+    res = gt.gmres(a, b, restart=30, tol=1e-5, M=m, max_restarts=10,
+                   compute_v_err=False)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-3)
 
 
 def test_rdma_operator_drives_cg(mesh):
