@@ -34,6 +34,35 @@ _cfg = jax.config.jax_platforms or ""
 if _plat and _cfg != _plat and _cfg.startswith("axon"):
     jax.config.update("jax_platforms", _plat)
 
+def _device_reachable(timeout_s: float = 90.0) -> bool:
+    """Probe the configured backend in a subprocess with a timeout.
+
+    The remote-TPU tunnel can hang indefinitely (observed: a worker
+    outage blocks even a trivial op forever, and a hung op cannot be
+    cancelled in-process). The subprocess inherits the environment, so
+    it probes exactly the backend this process would use."""
+    import subprocess
+
+    code = "import jax, jax.numpy as jnp; print(float(jnp.asarray(1.0) + 1.0))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if (jax.config.jax_platforms or "").partition(",")[0] != "cpu":
+    if not _device_reachable():
+        print(
+            "# device probe failed (tunnel down?); falling back to cpu",
+            flush=True,
+        )
+        jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
