@@ -154,6 +154,7 @@ def rdma_chebyshev_preconditioner(
     coefs=LAPLACE_COEFS,
     axis: str = GRID_AXIS,
     interpret: bool = False,
+    detect_races: bool = False,
 ) -> Callable:
     """Degree-2 Chebyshev preconditioner as ONE RDMA stencil kernel.
 
@@ -179,7 +180,8 @@ def rdma_chebyshev_preconditioner(
     def m_inv(r_blk):
         carr = jnp.asarray([*coefs, a, b], dtype=r_blk.dtype)
         return stencil_5pt_rdma(
-            r_blk, carr, axis=axis, num_devices=num, interpret=interpret
+            r_blk, carr, axis=axis, num_devices=num, interpret=interpret,
+            detect_races=detect_races,
         )
 
     return m_inv

@@ -73,7 +73,9 @@ def test_rdma_chebyshev_matches_ppermute_route(mesh):
     rng = np.random.default_rng(3)
     r = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
     r_sh = shard_grid_vector(r, mesh)
-    m_rdma = rdma_chebyshev_preconditioner(mesh, 0.2, 8.2, interpret=True)
+    m_rdma = rdma_chebyshev_preconditioner(
+        mesh, 0.2, 8.2, interpret=True, detect_races=True
+    )
     m_ref = halo_chebyshev_preconditioner(mesh, 0.2, 8.2)
     np.testing.assert_allclose(
         m_rdma(r_sh), m_ref(r_sh.astype(jnp.float64)).astype(jnp.float32),
