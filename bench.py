@@ -55,11 +55,44 @@ def _device_reachable(timeout_s: float = 90.0) -> bool:
         return False
 
 
-if (jax.config.jax_platforms or "").partition(",")[0] != "cpu":
-    if not _device_reachable():
+def _probe_with_retries() -> bool:
+    """Give the accelerator several chances over ~8 minutes before
+    concluding it is down.
+
+    Round-1 lesson: a single 90 s probe turned one transient tunnel
+    outage into a CPU-fallback benchmark of record. Observed tunnel
+    behavior includes multi-minute first-compile stalls that later
+    recover, so retry with growing timeouts and real backoff."""
+    schedule = [(90.0, 30.0), (150.0, 60.0), (240.0, 0.0)]
+    for i, (probe_t, sleep_t) in enumerate(schedule):
+        if _device_reachable(probe_t):
+            return True
         print(
-            "# device probe failed (tunnel down?); falling back to cpu",
-            flush=True,
+            f"# device probe attempt {i + 1}/{len(schedule)} failed "
+            f"({probe_t:.0f}s timeout)",
+            file=sys.stderr, flush=True,
+        )
+        if sleep_t:
+            time.sleep(sleep_t)
+    return False
+
+
+_fallback_from = None
+if (jax.config.jax_platforms or "").partition(",")[0] != "cpu":
+    if not _probe_with_retries():
+        if "--require-tpu" in sys.argv:
+            print(
+                "# accelerator unreachable after retries and "
+                "--require-tpu is set; refusing to produce a "
+                "CPU-fallback number",
+                file=sys.stderr, flush=True,
+            )
+            sys.exit(1)
+        _fallback_from = (jax.config.jax_platforms or "").partition(",")[0]
+        print(
+            "# device probe failed after retries (tunnel down?); "
+            "falling back to cpu",
+            file=sys.stderr, flush=True,
         )
         jax.config.update("jax_platforms", "cpu")
 
@@ -178,6 +211,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument(
+        "--require-tpu", action="store_true",
+        help="exit nonzero instead of degrading to CPU when the "
+        "accelerator is unreachable (prevents a CPU-fallback run from "
+        "masquerading as the benchmark of record)",
+    )
+    ap.add_argument(
         "--config", choices=["mg", "tuned", "reference"],
         default="mg",
         help="mg = geometric multigrid V-cycle preconditioner "
@@ -207,19 +246,29 @@ def main():
         # (docs/DESIGN.md scale table). Zero all-reduces added per
         # iteration.
         m_inv = gt.poisson_multigrid_preconditioner(nsize)
-        # fine-grid-equivalent stencil sweeps per V-cycle:
-        # (pre+post+2 residuals) * sum(4^-l) ~= 8 * 4/3
-        cheb_apps = 11
+        # Fine-grid-equivalent stencil sweeps per V-cycle, counted
+        # exactly from the cycle's static structure by the
+        # preconditioner itself (precond/multigrid.py) — the cycle is a
+        # fixed program, so this is a count, not a model.
+        cheb_apps = m_inv.fine_equiv_sweeps
+        apps_basis = "counted from static V-cycle structure"
     elif args.config == "tuned":
         m = args.m or 20
         # Deep Chebyshev auto-sized from the grid's exact spectral
         # bounds (docs/DESIGN.md §1); VMEM-resident fused application
         # on the f32 route, jnp recurrence on the f64 outer route.
-        m_inv, cheb_apps, _, _ = gt.tuned_poisson_preconditioner(nsize)
+        m_inv, cheb_order, _, _ = gt.tuned_poisson_preconditioner(nsize)
+        # An order-k semi-iteration applies the stencil exactly k−1
+        # times (precond/chebyshev.py).
+        cheb_apps = cheb_order - 1
+        apps_basis = "exact (order-1 stencil applies per application)"
     else:
         m = args.m or 50
         m_inv = gt.chebyshev_preconditioner(op, 0.2, 8.2)
+        # cbpr2 closed form: exactly one operator application
+        # (chebyshev.f90:27-37).
         cheb_apps = 1
+        apps_basis = "exact (1 stencil apply per cbpr2 application)"
     b = op(jnp.ones((nsize, nsize), dtype=jnp.float64))
 
     inner_dtype = jnp.float32 if args.precision == "mixed" else None
@@ -254,6 +303,7 @@ def main():
     stencil_apps = (1 + cheb_apps) * (total_inner + restarts)
     nnz = 5 * nsize * nsize - 4 * nsize
     nnz_per_s = stencil_apps * nnz / t_ours
+    platform = jax.devices()[0].platform
 
     # The metric is time to a TRUE UNPRECONDITIONED relative residual
     # <= tol — verify it (the solver certifies the preconditioned
@@ -311,12 +361,24 @@ def main():
         file=sys.stderr,
     )
 
+    nvars = nsize * nsize
+    nvars_label = f"{nvars // 1000}k" if nvars % 1000 == 0 or nvars >= 10000 \
+        else str(nvars)
     print(json.dumps({
-        "metric": "time_to_rel_residual_1e-8_gmres_hh_cheb_poisson_90k",
+        "metric": (
+            f"time_to_rel_residual_{args.tol:g}_gmres_hh_{args.config}"
+            f"_poisson_{nvars_label}"
+        ),
         "value": round(t_ours, 4),
         "unit": "s",
         "vs_baseline": round(t_base / t_ours, 2) if t_base == t_base else None,
+        "platform": platform + (
+            f" (FALLBACK from {_fallback_from}: accelerator was "
+            "unreachable — this is NOT an accelerator number)"
+            if _fallback_from else ""
+        ),
         "nnz_per_s": round(nnz_per_s, 1),
+        "nnz_per_s_derivation": apps_basis,
         "inner_iterations": total_inner,
         "restarts": restarts,
         "config": args.config,

@@ -269,7 +269,8 @@ def cmd_strong_scaling(args):
             )
         )
         res, dt = _timed(fn, b)
-        base_t = base_t or dt
+        if base_t is None:
+            base_t = dt
         records.append(
             record_from_result(
                 f"gmres-mgsr-{d}dev", res, wall_s=dt, tol=args.tol,
@@ -310,7 +311,8 @@ def cmd_weak_scaling(args):
         res, dt = _timed(fn, b)
         iters = max(int(res.restarts) - 1, 0) * m + int(res.iterations)
         per_iter = dt / max(iters, 1)
-        base = base or per_iter
+        if base is None:
+            base = per_iter
         records.append(
             record_from_result(
                 f"gmres-mgsr-{d}dev-{n}x{n}", res, wall_s=dt,

@@ -118,6 +118,18 @@ def poisson_multigrid_preconditioner(
     def m_inv(r: jnp.ndarray) -> jnp.ndarray:
         return v_cycle(r, 0)
 
+    # Exact work accounting for benchmark nnz/s derivation (the cycle
+    # is a fixed linear operator, so this is a count of the program's
+    # static structure, not an estimate). An order-k Chebyshev
+    # semi-iteration applies the operator exactly k−1 times
+    # (precond/chebyshev.py scan of order−1 steps); each non-coarsest
+    # level adds 2 residual computations; level l's grid carries
+    # 4^-l of the fine grid's stencil points.
+    per_level = (max(pre_smooth, 1) - 1) + (max(post_smooth, 1) - 1) + 2
+    m_inv.fine_equiv_sweeps = sum(
+        per_level * 0.25 ** l for l in range(levels - 1)
+    ) + (coarse_order - 1) * 0.25 ** (levels - 1)
+    m_inv.levels = levels
     return m_inv
 
 

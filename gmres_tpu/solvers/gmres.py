@@ -631,17 +631,30 @@ def gmres(
         # Degenerate 1×1 system: the Householder machinery needs
         # n ≥ m+1 ≥ 2; solve directly.
         a_val = op(jnp.ones_like(b))
-        x = jnp.where(a_val != 0, b / jnp.where(a_val != 0, a_val, 1.0),
+        singular = a_val == 0
+        x = jnp.where(~singular, b / jnp.where(~singular, a_val, 1.0),
                       jnp.zeros_like(b))
         if x0 is not None:
-            x = jnp.where(a_val != 0, x, x0)
-        residual = jnp.sqrt(tree_vdot(b - op(x), b - op(x))) / jnp.maximum(
+            x = jnp.where(~singular, x, x0)
+        # Residual in the norm the certify mode documents: the default
+        # "preconditioned" semantics measure ‖M(b − Ax)‖/β₀ (reference
+        # restart criterion), "true" the unpreconditioned norm.
+        r = b - op(x)
+        w = M(r) if (M is not None and not certify_true) else r
+        residual = jnp.sqrt(tree_vdot(w, w)) / jnp.maximum(
             jnp.sqrt(tree_vdot(b, b)), jnp.finfo(b.dtype).tiny
         )
+        # BREAKDOWN is reserved for the singular a == 0 case; a solvable
+        # system that misses tol (only possible through M's scaling or
+        # roundoff) is MAX_ITERATIONS, as everywhere else.
         status = jnp.where(
             residual < tol,
             jnp.int32(SolverStatus.CONVERGED),
-            jnp.int32(SolverStatus.BREAKDOWN),
+            jnp.where(
+                jnp.squeeze(singular),
+                jnp.int32(SolverStatus.BREAKDOWN),
+                jnp.int32(SolverStatus.MAX_ITERATIONS),
+            ),
         )
         return GmresResult(
             x=x, iterations=jnp.int32(1), restarts=jnp.int32(1),

@@ -155,28 +155,37 @@ def sstep_gmres(
     converged0 = (beta0 == 0) | (rel0 < tol)
 
     def cond(carry):
-        _, k, _, _, converged, stalled, _ = carry
+        _, k, _, _, converged, stalled, _, _ = carry
         return (k < max_restarts) & (~converged) & (~stalled)
 
     def body(carry):
-        x, k, w, beta, _, _, _ = carry
+        x, k, w, beta, _, _, _, hist = carry
         x_new, est, y_ok = cycle(x, w, beta)
         w_new, beta_new = precond_residual(x_new)
         rel = beta_new / jnp.maximum(beta0, tiny)
         converged = rel < tol
+        # Per-cycle certified residual — a genuine history, not a fill
+        # (the certification reduction already happened; recording it
+        # is free).
+        hist = hist.at[k].set(rel)
         # Stagnation/breakdown: no progress and failed factorization,
         # or non-finite residual.
         stalled = (~y_ok) | (~jnp.isfinite(beta_new)) | (
             (beta_new >= beta) & (k > 0) & (est >= beta)
         )
         stalled = stalled & (~converged)
-        return (x_new, k + 1, w_new, beta_new, converged, stalled, rel)
+        return (x_new, k + 1, w_new, beta_new, converged, stalled, rel,
+                hist)
 
+    hist0 = jnp.zeros((max_restarts,), dtype=dtype)
     carry0 = (x0, jnp.int32(0), w_init, beta_init, converged0,
-              jnp.array(False), rel0)
-    x, k, _, _, converged, stalled, rel = jax.lax.while_loop(
+              jnp.array(False), rel0, hist0)
+    x, k, _, _, converged, stalled, rel, hist = jax.lax.while_loop(
         cond, body, carry0
     )
+    # Pad past the final cycle with the final residual (cg/bicgstab's
+    # documented residual_history contract).
+    hist = jnp.where(jnp.arange(max_restarts) < k, hist, rel)
     status = jnp.where(
         converged,
         jnp.int32(SolverStatus.CONVERGED),
@@ -188,12 +197,22 @@ def sstep_gmres(
     )
     return GmresResult(
         x=x,
-        # inner iterations of the final cycle (a full cycle always runs
-        # s); 0 when converged at x0 without any cycle.
+        # Inner iterations of the final cycle. Unlike adaptive GMRES, an
+        # s-step cycle ALWAYS performs exactly s operator applications
+        # (that is the algorithm: the block is generated before any
+        # reduction can test convergence), so this is the true count —
+        # total inner iterations = restarts·s, consistent with gmres()'s
+        # (restarts−1)·m + iterations accounting. 0 when converged at x0
+        # without running any cycle.
         iterations=jnp.where(k > 0, jnp.int32(s), jnp.int32(0)),
         restarts=k,
         residual=rel,
         status=status,
-        residual_history=jnp.full((s,), rel, dtype=dtype),
+        # (max_restarts,) per-CYCLE certified relative residual (each
+        # entry covers s inner iterations), padded past convergence with
+        # the final value. Cycle granularity is the only one the
+        # algorithm observes — there is no per-inner-iteration residual
+        # without adding the very reductions s-step exists to avoid.
+        residual_history=hist,
         v_err=jnp.zeros((s + 1,), dtype=dtype),
     )
