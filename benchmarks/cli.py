@@ -414,6 +414,30 @@ def cmd_spmv(args):
                              offsets=dia.offsets, shape=dia.shape)
         bench("dia-shift-f32", lambda x, a=dia32: sp.dia_spmv(a, x),
               xg32.reshape(-1))
+        # The general-sparse answer: auto-split the CSR into HYB
+        # (diagonals → shift path, stragglers → gather residue). For
+        # the Poisson CSR the residue is empty, so this IS the CSR
+        # matrix running gather-free — the north-star CSR/COO SpMV
+        # measured at DIA speed instead of XLA-gather (scalar) speed.
+        hyb = sp.csr_to_hyb(csr)
+        hyb32 = sp.HYBMatrix(
+            dia=sp.DIAMatrix(data=hyb.dia.data.astype(jnp.float32),
+                             offsets=hyb.dia.offsets,
+                             shape=hyb.dia.shape),
+            ell=None if hyb.ell is None else sp.ELLMatrix(
+                data=hyb.ell.data.astype(jnp.float32),
+                cols=hyb.ell.cols, shape=hyb.ell.shape),
+            shape=hyb.shape,
+        )
+        bench("csr2hyb-shift-f32",
+              lambda x, a=hyb32: sp.hyb_spmv(a, x), xg32.reshape(-1))
+        if jax.default_backend() == "tpu":
+            bench("csr2hyb-pallas-f32",
+                  lambda x, a=hyb32: sp.hyb_spmv(a, x, use_pallas=True),
+                  xg32.reshape(-1))
+            bench("dia-pallas-f32",
+                  lambda x, a=dia32: sp.dia_spmv_pallas(a, x),
+                  xg32.reshape(-1))
         if jax.default_backend() == "tpu" and n >= 256:
             # block-tridiagonal synthetic BSR at MXU-tile block size
             bs = 128

@@ -60,10 +60,13 @@ from gmres_tpu.ops.sparse import (
     CSRMatrix,
     DIAMatrix,
     ELLMatrix,
+    HYBMatrix,
     bsr_from_dense,
     coo_from_dense,
+    coo_to_hyb,
     csr_from_dense,
     csr_to_ell,
+    csr_to_hyb,
     dia_from_dense,
     ell_from_dense,
     poisson_csr,
@@ -101,6 +104,9 @@ __all__ = [
     "coo_from_dense",
     "csr_from_dense",
     "csr_to_ell",
+    "csr_to_hyb",
+    "coo_to_hyb",
+    "HYBMatrix",
     "dia_from_dense",
     "ell_from_dense",
     "poisson_csr",

@@ -62,6 +62,8 @@ def poisson_multigrid_preconditioner(
     coarse_order: int = 32,
     lam_max: float = 8.0,
     smooth_band: float = 4.0,
+    mesh=None,
+    replicate_below: int | None = None,
 ) -> Callable:
     """V-cycle preconditioner z ≈ A⁻¹r for the nsize×nsize Poisson
     stencil (A = the unit 5-point stencil at every level).
@@ -71,6 +73,18 @@ def poisson_multigrid_preconditioner(
     pre/post_smooth: Chebyshev smoothing order on [λmax/band, λmax].
     coarse_order: Chebyshev order of the coarsest-level solve over the
       full spectrum of that level's grid.
+    mesh + replicate_below: coarse-level agglomeration for distributed
+      runs. Plain GSPMD keeps every level row-sharded, so each of the
+      coarse solve's ``coarse_order`` stencil sweeps pays a (tiny)
+      halo collective-permute — pure ICI latency for grids holding a
+      handful of rows per chip. With a mesh given, any level whose
+      grid size drops below ``replicate_below`` (default 8 rows per
+      device) is constrained REPLICATED: one small all-gather on the
+      way down buys communication-free smoothing at every deeper
+      level, and the replicated→sharded hand-back on the way up is a
+      local slice (no collective). Iteration counts are unchanged —
+      this moves data, not math (verified by
+      tests/test_multigrid.py::test_replicated_coarse_parity_and_cost).
     """
     if levels is None:
         levels = 1
@@ -105,15 +119,76 @@ def poisson_multigrid_preconditioner(
 
     coarse_solve = coarse_solver_for(sizes[-1])
 
+    replicate_from = levels  # first level index to replicate (none)
+    apply_at = {l: stencil_5pt_apply for l in range(levels)}
+    smoother_at = {l: (smoother, post_smoother) for l in range(levels)}
+    coarse_at = coarse_solve
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = int(mesh.devices.size)
+        if replicate_below is None:
+            replicate_below = 8 * n_dev
+        for l, sz in enumerate(sizes):
+            if sz < replicate_below:
+                replicate_from = l
+                break
+        repl = NamedSharding(mesh, PartitionSpec())
+
+        def pin(x):
+            return jax.lax.with_sharding_constraint(x, repl)
+
+        # A single constraint at level entry does NOT survive GSPMD's
+        # backward propagation (measured: the coarse scan bodies kept
+        # their halo collective-permutes). Pinning the OPERATOR —
+        # inputs and outputs of every stencil inside the smoother
+        # scans — anchors the whole coarse computation replicated.
+        def stencil_repl(x):
+            return pin(stencil_5pt_apply(pin(x)))
+
+        repl_smooth = chebyshev_preconditioner(
+            stencil_repl, lam_max / smooth_band, lam_max,
+            order=max(pre_smooth, 1), reference_form=False,
+        )
+        repl_post = chebyshev_preconditioner(
+            stencil_repl, lam_max / smooth_band, lam_max,
+            order=max(post_smooth, 1), reference_form=False,
+        )
+        import math as _math
+
+        _lam_min_c = 8.0 * _math.sin(
+            _math.pi / (2 * (sizes[-1] + 1))
+        ) ** 2
+        repl_coarse = chebyshev_preconditioner(
+            stencil_repl, _lam_min_c, lam_max,
+            order=coarse_order, reference_form=False,
+        )
+        for l in range(replicate_from, levels):
+            apply_at[l] = stencil_repl
+            smoother_at[l] = (repl_smooth, repl_post)
+        if replicate_from <= levels - 1:
+            coarse_at = repl_coarse
+
+        def agglomerate(r):
+            return pin(r)
+    else:
+        def agglomerate(r):
+            return r
+
     def v_cycle(r: jnp.ndarray, level: int) -> jnp.ndarray:
+        if level == replicate_from:
+            r = agglomerate(r)
         if level == levels - 1:
-            return coarse_solve(r)
-        e = smoother(r)
-        r2 = r - stencil_5pt_apply(e)
+            return coarse_at(r)
+        pre_s, post_s = smoother_at[level]
+        a_l = apply_at[level]
+        e = pre_s(r)
+        r2 = r - a_l(e)
         ec = v_cycle(restrict_sum(r2), level + 1)
         e = e + prolong_repeat(ec)
-        r3 = r - stencil_5pt_apply(e)
-        return e + post_smoother(r3)
+        r3 = r - a_l(e)
+        return e + post_s(r3)
 
     def m_inv(r: jnp.ndarray) -> jnp.ndarray:
         return v_cycle(r, 0)

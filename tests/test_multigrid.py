@@ -96,6 +96,84 @@ def test_mg_sharded_parity():
     assert int(plain.iterations) == int(sharded.iterations)
 
 
+@pytest.mark.parametrize("levels", [4, 5])
+def test_mg_full_depth_sharded_parity(levels):
+    """Full-depth V-cycle under the 8-way mesh: the coarsest grid
+    (8×8 at levels=4, 4×4 at levels=5) holds FEWER rows than the mesh
+    has devices — GSPMD must reshard the reshape-based transfers and
+    still reproduce the unsharded iteration count exactly."""
+    from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
+
+    mesh = solver_mesh(8)
+    n = 64
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    m_inv = poisson_multigrid_preconditioner(n, levels=levels)
+    f = jax.jit(
+        lambda v: gt.gmres(op, v, restart=10, tol=1e-10, M=m_inv,
+                           compute_v_err=False)
+    )
+    plain = f(b)
+    sharded = f(shard_grid_vector(b, mesh))
+    assert int(plain.iterations) == int(sharded.iterations)
+    assert int(plain.restarts) == int(sharded.restarts)
+    assert np.max(np.abs(np.asarray(sharded.x) - 1.0)) < 1e-8
+
+
+def test_replicated_coarse_parity_and_cost():
+    """Coarse-level agglomeration (mesh= + replicate_below): the
+    replicated cycle is numerically identical to the plain one, and
+    the compiled SPMD program carries halo collective-permutes ONLY in
+    the fine (still-sharded) level's smoother loops — the coarse
+    solve's 31-step Chebyshev scan becomes communication-free."""
+    import re
+
+    from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
+
+    mesh = solver_mesh(8)
+    n = 64
+    b = gt.poisson_apply(jnp.ones((n, n)))
+    b_sh = shard_grid_vector(b, mesh)
+
+    mi_plain = poisson_multigrid_preconditioner(n, levels=4)
+    mi_repl = poisson_multigrid_preconditioner(n, levels=4, mesh=mesh)
+
+    # numerics: one V-cycle application, bit-comparable
+    y_plain = mi_plain(b)
+    y_repl = jax.jit(mi_repl)(b_sh)
+    np.testing.assert_allclose(
+        np.asarray(y_repl), np.asarray(y_plain), rtol=1e-13, atol=1e-13
+    )
+
+    def permute_loop_count(mi):
+        txt = jax.jit(mi).lower(b_sh).compile().as_text()
+        loops = 0
+        for comp in re.split(r"\n\n", txt):
+            lines = comp.strip().splitlines()
+            if not lines or "region" not in lines[0]:
+                continue
+            if re.search(r" collective-permute", comp):
+                loops += 1
+        return loops
+
+    n_plain = permute_loop_count(mi_plain)
+    n_repl = permute_loop_count(mi_repl)
+    # plain: every level's smoother scans communicate (7 loop bodies at
+    # levels=4); replicated: only the finest level's (2 bodies).
+    assert n_repl < n_plain, (n_repl, n_plain)
+    assert n_repl <= 2, n_repl
+
+
+def test_mg_fine_equiv_sweeps_attribute():
+    """The static work count used by bench.py's nnz/s derivation:
+    exact value for the default 300-grid configuration
+    (pre=post=3 → 2 applies each, +2 residuals, coarse order 32 → 31
+    applies at 1/16 weight: 8·(1+1/4) + 31/16 = 9.4375)."""
+    m = poisson_multigrid_preconditioner(300)
+    assert m.levels == 3
+    assert abs(m.fine_equiv_sweeps - 9.4375) < 1e-12
+
+
 class TestConvDiffMG:
     def _problem(self, n=64, gx=0.4, gy=0.2):
         op = gt.convection_diffusion_operator(n, gx, gy)

@@ -181,3 +181,138 @@ def test_dia_operator_in_cg():
     res = gt.cg(op, b, tol=1e-10, max_iterations=500)
     assert bool(res.converged)
     np.testing.assert_allclose(res.x, 1.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# HYB (DIA + ELL residue) and the Pallas DIA kernel.
+# ---------------------------------------------------------------------------
+
+
+def _banded_with_stragglers(rng, n=500):
+    """Mostly-diagonal matrix with random straggler entries — the
+    structure HYB is designed for."""
+    dense = np.zeros((n, n))
+    for off in (-259, -37, -1, 0, 1, 37, 130):
+        dense += np.diag(rng.standard_normal(n - abs(off)), k=off)
+    rr = rng.integers(0, n, 200)
+    cc = rng.integers(0, n, 200)
+    dense[rr, cc] = rng.standard_normal(200)
+    return dense
+
+
+def test_hyb_split_exact():
+    """Every nonzero lands in exactly one part: hyb == csr == dense."""
+    rng = np.random.default_rng(20)
+    dense = _banded_with_stragglers(rng)
+    hyb = sp.csr_to_hyb(sp.csr_from_dense(dense))
+    assert hyb.ell is not None  # stragglers must be in the residue
+    assert len(hyb.dia.offsets) == 7  # all 7 dense diagonals extracted
+    x = jnp.asarray(rng.standard_normal(dense.shape[0]))
+    np.testing.assert_allclose(
+        sp.hyb_spmv(hyb, x), dense @ np.asarray(x), rtol=1e-12
+    )
+
+
+def test_hyb_poisson_is_pure_dia():
+    """A stencil matrix converts to pure DIA — no gather residue."""
+    hyb = sp.csr_to_hyb(sp.poisson_csr(16))
+    assert hyb.ell is None
+    assert hyb.dia.offsets == (-16, -1, 0, 1, 16)
+    x = jnp.asarray(np.random.default_rng(21).standard_normal(256))
+    np.testing.assert_allclose(
+        sp.hyb_spmv(hyb, x),
+        gt.poisson_apply(x.reshape(16, 16)).reshape(-1),
+        rtol=1e-12,
+    )
+
+
+def test_hyb_fully_random_degrades_to_ell():
+    """No diagonal clears the occupancy bar on a random matrix — all
+    entries stay on the gather path, result still exact."""
+    rng = np.random.default_rng(22)
+    dense = _random_sparse(rng, 64, density=0.05)
+    np.fill_diagonal(dense, 0.0)  # kill the main diagonal too
+    dense[0, 0] = 1.0
+    hyb = sp.csr_to_hyb(sp.csr_from_dense(dense), min_occupancy=0.9)
+    x = jnp.asarray(rng.standard_normal(64))
+    np.testing.assert_allclose(
+        sp.hyb_spmv(hyb, x), dense @ np.asarray(x), rtol=1e-12
+    )
+
+
+def test_coo_to_hyb():
+    rng = np.random.default_rng(23)
+    dense = _banded_with_stragglers(rng, n=300)
+    hyb = sp.coo_to_hyb(sp.coo_from_dense(dense))
+    x = jnp.asarray(rng.standard_normal(300))
+    np.testing.assert_allclose(
+        sp.hyb_spmv(hyb, x), dense @ np.asarray(x), rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize("offsets_case", ["narrow", "wide", "exact128"])
+def test_dia_pallas_interpret(offsets_case):
+    """Pallas DIA kernel vs dense oracle (interpret mode on CPU),
+    covering lane-only shifts, row+lane shifts, and offsets landing
+    exactly on the 128 lane boundary."""
+    rng = np.random.default_rng(24)
+    n = 700
+    offs = {
+        "narrow": (-3, -1, 0, 2, 5),
+        "wide": (-301, -128, -17, 0, 17, 256, 301),
+        "exact128": (-256, -128, 0, 128, 256),
+    }[offsets_case]
+    dense = np.zeros((n, n))
+    for off in offs:
+        dense += np.diag(rng.standard_normal(n - abs(off)), k=off)
+    a = sp.dia_from_dense(dense)
+    assert a.offsets == tuple(sorted(offs))
+    x = jnp.asarray(rng.standard_normal(n))
+    y = sp.dia_spmv_pallas(a, x, interpret=True)
+    np.testing.assert_allclose(y, dense @ np.asarray(x), rtol=1e-11)
+
+
+def test_dia_pallas_poisson_multiblock():
+    """Grid spans multiple row blocks (n > rows*128): block-halo
+    windows and edge clamping exercised."""
+    n = 90  # 8100 vars → 2+ blocks at rows=32
+    a = sp.poisson_dia(n)
+    x = jnp.asarray(
+        np.random.default_rng(25).standard_normal((n, n))
+    )
+    y = sp.dia_spmv_pallas(a, x.reshape(-1), interpret=True)
+    np.testing.assert_allclose(
+        y, gt.poisson_apply(x).reshape(-1), rtol=1e-12
+    )
+
+
+def test_hyb_operator_in_gmres():
+    """HYB operator (auto-split from CSR) drives GMRES end-to-end."""
+    n = 10
+    hyb = sp.csr_to_hyb(sp.poisson_csr(n))
+    op = sp.sparse_operator(hyb)
+    b = op(jnp.ones(n * n))
+    res = gt.gmres(op, b, restart=30, tol=1e-10, max_restarts=50)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-7)
+
+
+def test_hyb_sharded_parity():
+    """Row-sharded HYB operator: solver iteration counts match the
+    unsharded run exactly (the DIA shifts lower to collective
+    permutes, the residue gather stays local per row block)."""
+    from gmres_tpu.parallel.mesh import solver_mesh
+
+    mesh = solver_mesh(8)
+    n = 16
+    hyb = sp.csr_to_hyb(sp.poisson_csr(n))
+    op = sp.sparse_operator(hyb)
+    b = op(jnp.ones(n * n))
+    f = jax.jit(lambda bb: gt.cg(op, bb, tol=1e-10, max_iterations=500))
+    plain = f(b)
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("grid")
+    )
+    shard = f(jax.device_put(b, sharding))
+    assert int(plain.iterations) == int(shard.iterations)
+    np.testing.assert_allclose(shard.x, 1.0, atol=1e-7)
