@@ -586,19 +586,42 @@ def _dia_kernel(offsets: tuple, rows: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
 def dia_spmv_pallas(
-    a: DIAMatrix, x: jnp.ndarray, interpret: bool = False
+    a: DIAMatrix,
+    x: jnp.ndarray,
+    interpret: bool = False,
+    block_rows: int | None = None,
 ) -> jnp.ndarray:
     """Pallas TPU DIA SpMV (see section comment). float32/bfloat16 on
     real TPUs (Mosaic has no f64 vector path); any dtype in interpret
     mode. Requires max |offset| < rows·128 per block — the row-block
-    size auto-grows to cover the widest diagonal."""
+    size auto-grows to cover the widest diagonal; ``block_rows``
+    overrides it upward (bigger blocks amortize the per-step halo
+    window reads on large n).
+
+    The compiled path is traced with x64 disabled: under
+    jax_enable_x64 the ``pltpu.roll`` shift literal traces as i64,
+    which Mosaic's tpu.dynamic_rotate rejects. Interpret mode keeps
+    the caller's x64 setting (f64 test oracles need it; there is no
+    Mosaic involved)."""
+    if interpret:
+        return _dia_spmv_pallas_impl(a, x, interpret, block_rows)
+    with jax.enable_x64(False):
+        return _dia_spmv_pallas_impl(a, x, interpret, block_rows)
+
+
+def _dia_spmv_pallas_impl(
+    a: DIAMatrix, x: jnp.ndarray, interpret: bool,
+    block_rows: int | None = None,
+) -> jnp.ndarray:
     n = a.shape[0]
     offsets = tuple(int(o) for o in a.offsets)
     ndiags = len(offsets)
     max_q = max(abs(o) // 128 + 1 for o in offsets)
     rows = max(32, 8 * ((max_q + 8) // 8))
+    if block_rows is not None:
+        rows = max(rows, 8 * ((block_rows + 7) // 8))
     block = rows * 128
     nblocks = max(1, -(-n // block))
     npad = nblocks * block
