@@ -8,9 +8,15 @@ single reduction clauses (bicgstab.f90:123-127). The TPU equivalents
 here keep each fusion to ONE VMEM round trip:
 
 * ``cg_fused_update`` — x ← x+αp, r ← r−α·ap, ‖r‖² in a single pass
-  over the four vectors (the cg.f90:127-134 fusion).
+  over the four vectors (the cg.f90:127-134 fusion). MEASURED VERDICT
+  (docs/DESIGN.md §6): parity with the jnp sequence on v5e — XLA
+  already fuses the update AND keeps loop-invariant vectors
+  VMEM-resident across while_loop iterations, so the solvers stay
+  pure jnp; this kernel is kept for shard_map-per-shard callers.
 * ``axpy_dot`` — y ← y+αx together with (y·z) for a caller-chosen z;
   the generic dot+axpy fusion of SURVEY §2 C2's reflector sweeps.
+  MEASURED VERDICT: 1.5× SLOWER than the XLA-fused jnp pair (same
+  residency effect) — not wired anywhere on the single-chip path.
 * ``chebyshev_poisson_fused`` — the entire degree-2 Chebyshev
   application z = r/d + α(r − A(r)/d) (uses A(r/d) = A(r)/d by
   linearity) as one stencil+axpy VMEM pass, with explicit halo rows so

