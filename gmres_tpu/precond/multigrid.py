@@ -216,6 +216,8 @@ def convection_diffusion_multigrid_preconditioner(
     post_smooth: int = 3,
     omega: float = 0.7,
     coarse_iters: int = 64,
+    mesh=None,
+    replicate_below: int | None = None,
 ) -> Callable:
     """V-cycle preconditioner for the NONSYMMETRIC convection-diffusion
     stencil (models/convection_diffusion.py).
@@ -253,7 +255,31 @@ def convection_diffusion_multigrid_preconditioner(
         convection_diffusion_coefs(g_x, g_y) for (_, g_x, g_y) in levels
     ]
 
+    # Coarse-level agglomeration, same design (and same GSPMD pinning
+    # lesson) as the Poisson cycle above: pin the OPERATOR at
+    # replicated levels so the smoothing loops stay communication-free.
+    replicate_from = n_levels
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if replicate_below is None:
+            replicate_below = 8 * int(mesh.devices.size)
+        for l, (sz, _, _) in enumerate(levels):
+            if sz < replicate_below:
+                replicate_from = l
+                break
+        _repl = NamedSharding(mesh, PartitionSpec())
+
+        def _pin(x):
+            return jax.lax.with_sharding_constraint(x, _repl)
+    else:
+        def _pin(x):
+            return x
+
     def apply_l(x, l):
+        if l >= replicate_from:
+            return _pin(stencil_5pt_general(_pin(x), *coefs[l]))
         return stencil_5pt_general(x, *coefs[l])
 
     def smooth(r, l, iters):
@@ -273,6 +299,8 @@ def convection_diffusion_multigrid_preconditioner(
         )
 
     def v_cycle(r, l):
+        if l == replicate_from:
+            r = _pin(r)
         if l == n_levels - 1:
             return smooth(r, l, coarse_iters)
         e = smooth(r, l, pre_smooth)

@@ -207,6 +207,31 @@ class TestConvDiffMG:
         assert bool(res.converged)
         assert float(res.residual) <= 1e-8
 
+    def test_sharded_agglomerated_parity(self):
+        """convdiff cycle with mesh= agglomeration: numerically
+        identical to the plain cycle, solver iteration parity under
+        the 8-way mesh."""
+        from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        mesh = solver_mesh(8)
+        n = 64
+        op, b = self._problem(n)
+        mi_p = convection_diffusion_multigrid_preconditioner(n)
+        mi_r = convection_diffusion_multigrid_preconditioner(n, mesh=mesh)
+        y_p = mi_p(b)
+        y_r = jax.jit(mi_r)(shard_grid_vector(b, mesh))
+        np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_p),
+                                   rtol=1e-13, atol=1e-13)
+        r_p = gt.bicgstab(op, b, tol=1e-9, max_iterations=1000, M=mi_p)
+        r_r = jax.jit(
+            lambda v: gt.bicgstab(op, v, tol=1e-9, max_iterations=1000,
+                                  M=mi_r)
+        )(shard_grid_vector(b, mesh))
+        assert int(r_p.iterations) == int(r_r.iterations)
+
     def test_high_peclet_coarsening_stops(self):
         from gmres_tpu.precond.multigrid import (
             convection_diffusion_multigrid_preconditioner,
