@@ -62,8 +62,10 @@ def _probe_with_retries() -> bool:
     Round-1 lesson: a single 90 s probe turned one transient tunnel
     outage into a CPU-fallback benchmark of record. Observed tunnel
     behavior includes multi-minute first-compile stalls that later
-    recover, so retry with growing timeouts and real backoff."""
-    schedule = [(90.0, 30.0), (150.0, 60.0), (240.0, 0.0)]
+    recover — a fresh process's first trivial dispatch has been
+    measured at ~290 s even with the worker healthy — so the later
+    attempts must exceed that."""
+    schedule = [(120.0, 30.0), (330.0, 60.0), (480.0, 0.0)]
     for i, (probe_t, sleep_t) in enumerate(schedule):
         if _device_reachable(probe_t):
             return True
