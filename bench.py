@@ -239,6 +239,13 @@ def main():
     )
     args = ap.parse_args()
 
+    if args.require_tpu and jax.devices()[0].platform == "cpu":
+        # Covers the path where JAX_PLATFORMS was already cpu (probe
+        # skipped) — --require-tpu must never produce a CPU number.
+        print("# --require-tpu set but the resolved backend is cpu",
+              file=sys.stderr, flush=True)
+        sys.exit(1)
+
     nsize, tol = args.nsize, args.tol
     op = gt.poisson_operator(nsize)
     if args.config == "mg":

@@ -323,32 +323,31 @@ def csr_to_hyb(
     if chosen.size > max_diags:
         order = np.argsort(-counts[occ >= min_occupancy])
         chosen = chosen[order[:max_diags]]
-    chosen_set = set(int(o) for o in chosen)
-
-    dia_offsets = tuple(sorted(chosen_set))
+    dia_offsets = tuple(int(o) for o in np.sort(chosen))
     dia_data = np.zeros((max(len(dia_offsets), 1), n_rows),
                         dtype=data.dtype)
-    off_pos = {o: k for k, o in enumerate(dia_offsets)}
-    in_dia = np.array([int(o) in chosen_set for o in offs])
+    in_dia = np.isin(offs, chosen)
     if dia_offsets:
-        k_idx = np.array([off_pos[int(o)] for o in offs[in_dia]])
+        k_idx = np.searchsorted(np.asarray(dia_offsets), offs[in_dia])
         dia_data[k_idx, rows[in_dia]] = data[in_dia]
 
     res_mask = ~in_dia
     ell = None
     if res_mask.any():
-        r_rows = rows[res_mask]
+        r_rows = rows[res_mask]  # sorted (CSR order)
         r_cols = indices[res_mask]
         r_data = data[res_mask]
         counts_r = np.bincount(r_rows, minlength=n_rows)
         k = int(counts_r.max())
         ell_d = np.zeros((n_rows, k), dtype=data.dtype)
         ell_c = np.zeros((n_rows, k), dtype=np.int32)
-        slot = np.zeros(n_rows, dtype=np.int64)
-        for rr, cc, dd in zip(r_rows, r_cols, r_data):
-            ell_d[rr, slot[rr]] = dd
-            ell_c[rr, slot[rr]] = cc
-            slot[rr] += 1
+        # slot index = position within the row = running index minus
+        # the row's start (vectorized cumcount over sorted rows)
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts_r, out=starts[1:])
+        slot = np.arange(r_rows.size) - starts[r_rows]
+        ell_d[r_rows, slot] = r_data
+        ell_c[r_rows, slot] = r_cols
         ell = ELLMatrix(
             data=jnp.asarray(ell_d), cols=jnp.asarray(ell_c),
             shape=a.shape,
