@@ -251,6 +251,118 @@ def chebyshev_k_poisson_pallas(
     )(scal, rho, r)
 
 
+# ---------------------------------------------------------------------------
+# BLOCKED order-k Chebyshev: trapezoidal tiling for grids beyond VMEM.
+#
+# chebyshev_k_poisson_pallas needs the whole grid resident (f32
+# N ≲ 800). For large grids, process row blocks of R with a halo of H
+# rows on each side: all k−1 sweeps run in VMEM on the (R+2H)-row
+# window, and the zero-padding error at the window edge creeps inward
+# one row per sweep — H ≥ k−1 keeps the creep out of the written
+# center. One HBM read of r (plus 2H/R halo overhead) and one write of
+# z replace the jnp route's ~3 passes PER SWEEP: the multigrid
+# smoothers' level-0 cost at 4096² drops accordingly.
+# ---------------------------------------------------------------------------
+
+
+def _chebk_blocked_kernel(order: int, rows: int, halo: int,
+                          nblocks: int):
+    R, H = rows, halo
+
+    def kernel(scal_ref, rho_ref, rc_ref, rt_ref, rb_ref, z_ref):
+        i = pl.program_id(0)
+        theta = scal_ref[0]
+        c0, cw, ce, cs, cn = (scal_ref[1], scal_ref[2], scal_ref[3],
+                              scal_ref[4], scal_ref[5])
+        top = jnp.where(i > 0, rt_ref[:], jnp.zeros_like(rt_ref[:]))
+        bot = jnp.where(i < nblocks - 1, rb_ref[:],
+                        jnp.zeros_like(rb_ref[:]))
+        r = jnp.concatenate([top, rc_ref[:], bot], axis=0)  # (R+2H, N)
+        zero = jnp.zeros((1, r.shape[1]), dtype=r.dtype)
+        # Out-of-grid window rows (edge blocks' halos) must stay ZERO
+        # through every sweep — the Dirichlet boundary is truncation,
+        # not a value: without re-masking, the sweep writes into the
+        # dead rows and grid row 0 reads the corruption back on the
+        # next sweep (observed: only the first/last grid rows wrong).
+        g = (i * R - H) + jax.lax.broadcasted_iota(
+            jnp.int32, r.shape, 0
+        )
+        in_grid = (g >= 0) & (g < nblocks * R)
+        d0 = r / theta
+        z = d0
+        for step in range(order - 1):
+            az = _local_stencil(z, zero, zero, c0, cw, ce, cs, cn)
+            d0 = (rho_ref[2 * step] * d0
+                  + rho_ref[2 * step + 1] * (r - az))
+            d0 = jnp.where(in_grid, d0, jnp.zeros_like(d0))
+            z = z + d0
+        z_ref[:] = z[H:H + R]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "lam_min", "lam_max", "coefs",
+                     "interpret", "block_rows"),
+)
+def chebyshev_k_poisson_pallas_blocked(
+    r: jnp.ndarray,
+    order: int,
+    lam_min: float,
+    lam_max: float,
+    coefs=(4.0, -1.0, -1.0, -1.0, -1.0),
+    interpret: bool = False,
+    block_rows: int = 128,
+) -> jnp.ndarray:
+    """z ≈ A⁻¹r, order-k Chebyshev on an (N, N) grid of ANY size (see
+    section comment). Requires order − 1 ≤ halo (= 8·ceil((order−1)/8))
+    ≤ block_rows and block_rows | N; halo rows divide block_rows so
+    they address the same array in (halo, N) block units."""
+    n = r.shape[0]
+    rows = min(block_rows, n)
+    if n % rows != 0:
+        raise ValueError(f"grid rows {n} not divisible by {rows}")
+    halo = 8 * (-(-(order - 1) // 8)) if order > 1 else 8
+    if halo > rows or rows % halo != 0:
+        raise ValueError(
+            f"order {order} needs halo {halo} ≤ and dividing "
+            f"block_rows {rows}"
+        )
+    nblocks = n // rows
+    theta, _, steps = chebyshev_k_scalars(lam_min, lam_max, order)
+    scal = jnp.asarray([theta, *coefs], dtype=r.dtype)
+    rho = jnp.asarray(steps if steps else [0.0], dtype=r.dtype)
+    ratio = rows // halo
+    last_h = n // halo - 1
+    return pl.pallas_call(
+        _chebk_blocked_kernel(order, rows, halo, nblocks),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, r.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # halo windows in (halo, N) block units of the same array,
+            # clamped at the grid edges (masked in-kernel)
+            pl.BlockSpec(
+                (halo, r.shape[1]),
+                lambda i: (jnp.maximum(i * ratio - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (halo, r.shape[1]),
+                lambda i: (jnp.minimum((i + 1) * ratio, last_h), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((rows, r.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+        interpret=interpret,
+    )(scal, rho, r, r, r)
+
+
 def chebyshev_ref_scalars(lam_min: float, lam_max: float):
     """(d, α) of the reference's cbpr2 closed form
     (chebyshev.f90:20-25)."""

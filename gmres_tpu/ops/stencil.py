@@ -157,3 +157,78 @@ def stencil_5pt_pallas(
     (zero halos). Requires the grid to fit in VMEM (f32 N ≲ 1024)."""
     zero = jnp.zeros((1, x.shape[1]), dtype=x.dtype)
     return stencil_5pt_pallas_halo(x, zero, zero, coefs, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Blocked Pallas stencil for grids beyond VMEM (measured: the jnp
+# roll-based stencil drops from ~600 GB/s at 1024² to ~250 GB/s at
+# 4096² — XLA's fusion/tiling degrades on large 2-D shapes). Grid over
+# row blocks; each step sees the previous/current/next block (halo
+# windows, same clamp-is-harmless trick as ops/sparse.dia_spmv_pallas:
+# an edge clamp reads garbage rows whose contribution is masked by the
+# kernel's own boundary handling below).
+# ---------------------------------------------------------------------------
+
+
+def _blocked_kernel(nblocks: int):
+    def kernel(coef_ref, x_ref, top_ref, bot_ref, o_ref):
+        i = pl.program_id(0)
+        c0, cw, ce, cs, cn = (coef_ref[0], coef_ref[1], coef_ref[2],
+                              coef_ref[3], coef_ref[4])
+        x = x_ref[:]
+        # 1-row halos; the clamped BlockSpec at the grid edges supplies
+        # a wrong row, masked to the Dirichlet zero here.
+        top = jnp.where(i > 0, top_ref[:], jnp.zeros_like(top_ref[:]))
+        bot = jnp.where(i < nblocks - 1, bot_ref[:],
+                        jnp.zeros_like(bot_ref[:]))
+        up = jnp.concatenate([top, x[:-1, :]], axis=0)
+        down = jnp.concatenate([x[1:, :], bot], axis=0)
+        left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+        right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+        o_ref[:] = c0 * x + cw * left + ce * right + cs * up + cn * down
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows")
+)
+def stencil_5pt_pallas_blocked(
+    x: jnp.ndarray,
+    coefs: jnp.ndarray | None = None,
+    interpret: bool = False,
+    block_rows: int = 512,
+) -> jnp.ndarray:
+    """Pallas stencil for an (N, N) grid of ANY size: row-blocked, each
+    block VMEM-resident; the one-row halos are separate (1, N)
+    BlockSpecs so neighbor blocks are never re-read (traffic stays at
+    read-x + write-y). Grid rows must divide by block_rows."""
+    n = x.shape[0]
+    if coefs is None:
+        coefs = jnp.array([4.0, -1.0, -1.0, -1.0, -1.0], dtype=x.dtype)
+    rows = min(block_rows, n)
+    if n % rows != 0:
+        raise ValueError(f"grid rows {n} not divisible by {rows}")
+    nblocks = n // rows
+    return pl.pallas_call(
+        _blocked_kernel(nblocks),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, x.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # halo rows, in (1, N)-row block units of the same array:
+            # row above the block / row below, clamped at the edges
+            # (masked in-kernel).
+            pl.BlockSpec((1, x.shape[1]),
+                         lambda i: (jnp.maximum(i * rows - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, x.shape[1]),
+                         lambda i: (jnp.minimum((i + 1) * rows, n - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, x.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(coefs, x, x, x)

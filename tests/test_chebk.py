@@ -78,3 +78,37 @@ def test_wrapper_drives_gmres():
                    compute_v_err=False)
     assert bool(res.converged)
     np.testing.assert_allclose(res.x, 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("order,block_rows", [(2, 64), (3, 32), (8, 32),
+                                              (9, 64)])
+def test_chebk_blocked_matches_jnp(order, block_rows):
+    """Trapezoidal-tiled blocked Chebyshev: exact vs the jnp
+    recurrence, including the per-sweep Dirichlet re-masking of
+    out-of-grid window rows (regression: without it only the first and
+    last grid rows corrupt — the creep feeds back through the halo)."""
+    from gmres_tpu.ops.fused import chebyshev_k_poisson_pallas_blocked
+    from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+    from gmres_tpu.ops.stencil import stencil_5pt_apply
+
+    rng = np.random.default_rng(30 + order)
+    n = 128
+    r = jnp.asarray(rng.standard_normal((n, n)), dtype=jnp.float32)
+    ref = chebyshev_preconditioner(
+        stencil_5pt_apply, 0.5, 8.0, order=order, reference_form=False
+    )(r)
+    y = chebyshev_k_poisson_pallas_blocked(
+        r, order, 0.5, 8.0, interpret=True, block_rows=block_rows
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=2e-6)
+
+
+def test_chebk_blocked_order_too_deep_raises():
+    from gmres_tpu.ops.fused import chebyshev_k_poisson_pallas_blocked
+
+    with pytest.raises(ValueError, match="halo"):
+        chebyshev_k_poisson_pallas_blocked(
+            jnp.ones((64, 64), jnp.float32), 40, 0.5, 8.0,
+            interpret=True, block_rows=16,
+        )

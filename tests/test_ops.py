@@ -155,3 +155,27 @@ def test_stencil_pallas_halo_interpret():
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(top), np.asarray(full[:half]),
                                rtol=1e-5)
+
+
+def test_stencil_pallas_blocked_interpret():
+    """Row-blocked Pallas stencil (grids beyond VMEM): exact vs the
+    jnp stencil, including the 1-row halo BlockSpecs and the
+    edge-clamp masking."""
+    rng = np.random.default_rng(12)
+    from gmres_tpu.ops.stencil import stencil_5pt_pallas_blocked
+
+    for n, br in [(96, 32), (64, 8), (128, 128)]:
+        x = jnp.asarray(rng.standard_normal((n, n)))
+        y = stencil_5pt_pallas_blocked(x, interpret=True, block_rows=br)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(stencil_5pt_apply(x)), rtol=1e-12
+        )
+
+
+def test_stencil_pallas_blocked_indivisible_raises():
+    from gmres_tpu.ops.stencil import stencil_5pt_pallas_blocked
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        stencil_5pt_pallas_blocked(jnp.ones((96, 96)), interpret=True,
+                                   block_rows=40)
