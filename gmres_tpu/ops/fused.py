@@ -313,17 +313,42 @@ def chebyshev_k_poisson_pallas_blocked(
     lam_max: float,
     coefs=(4.0, -1.0, -1.0, -1.0, -1.0),
     interpret: bool = False,
-    block_rows: int = 128,
+    block_rows: int | None = None,
 ) -> jnp.ndarray:
     """z ≈ A⁻¹r, order-k Chebyshev on an (N, N) grid of ANY size (see
     section comment). Requires order − 1 ≤ halo (= 8·ceil((order−1)/8))
     ≤ block_rows and block_rows | N; halo rows divide block_rows so
-    they address the same array in (halo, N) block units."""
+    they address the same array in (halo, N) block units. block_rows
+    defaults to the largest halo-multiple divisor of N that keeps the
+    ~6 live window buffers inside VMEM.
+
+    Compiled path traced with x64 off: clamped index maps otherwise
+    return i64, which Mosaic rejects."""
+    if not interpret:
+        with jax.enable_x64(False):
+            return _chebk_blocked_impl(r, order, lam_min, lam_max,
+                                       coefs, interpret, block_rows)
+    return _chebk_blocked_impl(r, order, lam_min, lam_max, coefs,
+                               interpret, block_rows)
+
+
+def _chebk_blocked_impl(
+    r, order, lam_min, lam_max, coefs, interpret, block_rows
+):
     n = r.shape[0]
+    halo = 8 * (-(-(order - 1) // 8)) if order > 1 else 8
+    if block_rows is None:
+        # ~2^18 elems/operand budget: the kernel keeps ~6 window-sized
+        # buffers (r, z, d, az, masks) live plus double buffering
+        # (measured: 64-row blocks at N=4096 compile and run).
+        limit = max(halo, (1 << 18) // max(n, 1))
+        block_rows = halo
+        for d in range(halo, min(limit, n) + 1, halo):
+            if n % d == 0:
+                block_rows = d
     rows = min(block_rows, n)
     if n % rows != 0:
         raise ValueError(f"grid rows {n} not divisible by {rows}")
-    halo = 8 * (-(-(order - 1) // 8)) if order > 1 else 8
     if halo > rows or rows % halo != 0:
         raise ValueError(
             f"order {order} needs halo {halo} ≤ and dividing "
@@ -361,6 +386,17 @@ def chebyshev_k_poisson_pallas_blocked(
         out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
         interpret=interpret,
     )(scal, rho, r, r, r)
+
+
+def chebyshev_blocked_feasible(n: int, order: int) -> bool:
+    """True iff `chebyshev_k_poisson_pallas_blocked` can tile an
+    (n, n) grid for this order (a halo-multiple divisor of n fits the
+    VMEM row budget)."""
+    halo = 8 * (-(-(order - 1) // 8)) if order > 1 else 8
+    limit = max(halo, (1 << 18) // max(n, 1))
+    return any(
+        n % d == 0 for d in range(halo, min(limit, n) + 1, halo)
+    )
 
 
 def chebyshev_ref_scalars(lam_min: float, lam_max: float):

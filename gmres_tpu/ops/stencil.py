@@ -176,18 +176,36 @@ def _blocked_kernel(nblocks: int):
         c0, cw, ce, cs, cn = (coef_ref[0], coef_ref[1], coef_ref[2],
                               coef_ref[3], coef_ref[4])
         x = x_ref[:]
-        # 1-row halos; the clamped BlockSpec at the grid edges supplies
-        # a wrong row, masked to the Dirichlet zero here.
-        top = jnp.where(i > 0, top_ref[:], jnp.zeros_like(top_ref[:]))
-        bot = jnp.where(i < nblocks - 1, bot_ref[:],
-                        jnp.zeros_like(bot_ref[:]))
-        up = jnp.concatenate([top, x[:-1, :]], axis=0)
-        down = jnp.concatenate([x[1:, :], bot], axis=0)
+        rows = x.shape[0]
+        # 8-row halo windows (Mosaic requires sublane-divisible block
+        # shapes — a (1, N) block is rejected); only the adjacent row
+        # of each is used. Clamped BlockSpecs at the grid edges supply
+        # a wrong window, masked to the Dirichlet zero here. Mask the
+        # FULL aligned window, then slice from the concat — a select
+        # on an offset slice mismatches Mosaic vector layouts.
+        w_top = jnp.where(i > 0, top_ref[:], jnp.zeros_like(top_ref[:]))
+        w_bot = jnp.where(i < nblocks - 1, bot_ref[:],
+                          jnp.zeros_like(bot_ref[:]))
+        up = jnp.concatenate([w_top, x], axis=0)[7: 7 + rows]
+        down = jnp.concatenate([x, w_bot], axis=0)[1: 1 + rows]
         left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
         right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
         o_ref[:] = c0 * x + cw * left + ce * right + cs * up + cn * down
 
     return kernel
+
+
+def _auto_block_rows(n: int, budget_elems: int) -> int:
+    """Largest divisor of n that is a multiple of 8 (or n itself) with
+    rows·n ≤ budget_elems — keeps the operand set inside VMEM."""
+    limit = max(8, budget_elems // max(n, 1))
+    if n <= limit:
+        return n
+    best = 8
+    for d in range(8, limit + 1, 8):
+        if n % d == 0:
+            best = d
+    return best
 
 
 @functools.partial(
@@ -197,19 +215,50 @@ def stencil_5pt_pallas_blocked(
     x: jnp.ndarray,
     coefs: jnp.ndarray | None = None,
     interpret: bool = False,
-    block_rows: int = 512,
+    block_rows: int | None = None,
 ) -> jnp.ndarray:
     """Pallas stencil for an (N, N) grid of ANY size: row-blocked, each
-    block VMEM-resident; the one-row halos are separate (1, N)
-    BlockSpecs so neighbor blocks are never re-read (traffic stays at
-    read-x + write-y). Grid rows must divide by block_rows."""
+    block VMEM-resident; the 8-row halo windows are separate BlockSpecs
+    so neighbor blocks are never re-read (traffic stays at
+    read-x + write-y). Grid rows must divide by block_rows.
+
+    Compiled path traced with x64 off: clamped index maps otherwise
+    return i64, which Mosaic rejects (func.return legalization)."""
+    if not interpret:
+        with jax.enable_x64(False):
+            return _stencil_blocked_impl(x, coefs, interpret, block_rows)
+    return _stencil_blocked_impl(x, coefs, interpret, block_rows)
+
+
+def _stencil_blocked_impl(
+    x: jnp.ndarray,
+    coefs: jnp.ndarray | None,
+    interpret: bool,
+    block_rows: int,
+) -> jnp.ndarray:
     n = x.shape[0]
     if coefs is None:
         coefs = jnp.array([4.0, -1.0, -1.0, -1.0, -1.0], dtype=x.dtype)
+    if block_rows is None:
+        # ~2^19 f32 elements per operand ≈ 2 MB; with in/out double
+        # buffering the set stays well under the 16 MB VMEM limit
+        # (measured: 256-row blocks at N=4096 OOM at 17.2 MB).
+        block_rows = _auto_block_rows(n, 1 << 19)
     rows = min(block_rows, n)
+    if rows == n:
+        # single block: the whole-grid kernel (no halo machinery)
+        return stencil_5pt_pallas_halo(
+            x, jnp.zeros((1, x.shape[1]), x.dtype),
+            jnp.zeros((1, x.shape[1]), x.dtype), coefs,
+            interpret=interpret,
+        )
     if n % rows != 0:
         raise ValueError(f"grid rows {n} not divisible by {rows}")
+    if rows % 8 != 0:
+        raise ValueError(f"block_rows {rows} must be divisible by 8")
     nblocks = n // rows
+    ratio = rows // 8
+    last8 = n // 8 - 1
     return pl.pallas_call(
         _blocked_kernel(nblocks),
         grid=(nblocks,),
@@ -217,14 +266,15 @@ def stencil_5pt_pallas_blocked(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((rows, x.shape[1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # halo rows, in (1, N)-row block units of the same array:
-            # row above the block / row below, clamped at the edges
-            # (masked in-kernel).
-            pl.BlockSpec((1, x.shape[1]),
-                         lambda i: (jnp.maximum(i * rows - 1, 0), 0),
+            # 8-row halo windows in (8, N) block units of the same
+            # array: the window ending at the block start / starting
+            # right after it, clamped at the edges (masked in-kernel).
+            pl.BlockSpec((8, x.shape[1]),
+                         lambda i: (jnp.maximum(i * ratio - 1, 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, x.shape[1]),
-                         lambda i: (jnp.minimum((i + 1) * rows, n - 1), 0),
+            pl.BlockSpec((8, x.shape[1]),
+                         lambda i: (jnp.minimum((i + 1) * ratio, last8),
+                                    0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, x.shape[1]), lambda i: (i, 0),

@@ -123,7 +123,11 @@ def chebyshev_stencil_preconditioner(
     """
     import jax
 
-    from gmres_tpu.ops.fused import chebyshev_k_poisson_pallas
+    from gmres_tpu.ops.fused import (
+        chebyshev_blocked_feasible,
+        chebyshev_k_poisson_pallas,
+        chebyshev_k_poisson_pallas_blocked,
+    )
     from gmres_tpu.ops.stencil import stencil_5pt_general
 
     lo, hi = sorted((float(lam_min), float(lam_max)))
@@ -135,18 +139,27 @@ def chebyshev_stencil_preconditioner(
         return jnp_form
 
     def m_inv(r):
-        pallas_ok = (
+        dtype_ok = (
             r.dtype in (jnp.float32, jnp.bfloat16)
             and r.ndim == 2
-            # grid + 2 scratch buffers within a conservative VMEM cap
-            and 3 * r.size * r.dtype.itemsize <= 8 * 2**20
             and jax.default_backend() == "tpu"
         )
-        if pallas_ok or use_pallas == "always":
+        # whole grid + 2 scratch buffers within a conservative VMEM cap
+        whole_ok = dtype_ok and (
+            3 * r.size * r.dtype.itemsize <= 8 * 2**20
+        )
+        if whole_ok or use_pallas == "always":
             return chebyshev_k_poisson_pallas(
                 r, order, lo, hi, tuple(coefs),
                 interpret=(use_pallas == "always"
                            and jax.default_backend() != "tpu"),
+            )
+        # grids beyond VMEM: the row-blocked trapezoidal kernel
+        # (measured 36× the jnp recurrence at order 8, 4096²)
+        if (dtype_ok and r.shape[0] == r.shape[1]
+                and chebyshev_blocked_feasible(r.shape[0], order)):
+            return chebyshev_k_poisson_pallas_blocked(
+                r, order, lo, hi, tuple(coefs)
             )
         return jnp_form(r)
 

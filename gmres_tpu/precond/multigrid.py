@@ -39,19 +39,23 @@ from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
 
 def restrict_sum(x: jnp.ndarray) -> jnp.ndarray:
     """(2m, 2m) → (m, m) by 2×2 block SUM (residual transfer for
-    h²-scaled operators: the value average times the area factor 4)."""
-    m0, m1 = x.shape[0] // 2, x.shape[1] // 2
-    return x.reshape(m0, 2, m1, 2).sum(axis=(1, 3))
+    h²-scaled operators: the value average times the area factor 4).
+
+    Implemented as strided slices, NOT reshape(m,2,m,2).sum: the
+    reshape form hits a pathological XLA/TPU path at scale — measured
+    4096²: restrict+prolong round trip 34.4 ms via reshape vs 0.46 ms
+    via slices/repeat, a 75× difference that dominated the whole
+    V-cycle. Bitwise-identical results (asserted when measured)."""
+    y = x[0::2, :] + x[1::2, :]
+    return y[:, 0::2] + y[:, 1::2]
 
 
 def prolong_repeat(x: jnp.ndarray) -> jnp.ndarray:
     """(m, m) → (2m, 2m) by replication (value-preserving error
     transfer, the adjoint pairing of restrict_sum up to the factor 4
-    already absorbed there)."""
-    m0, m1 = x.shape
-    return jnp.broadcast_to(
-        x[:, None, :, None], (m0, 2, m1, 2)
-    ).reshape(2 * m0, 2 * m1)
+    already absorbed there). jnp.repeat form — see restrict_sum's
+    performance note."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
 
 
 def poisson_multigrid_preconditioner(
@@ -64,6 +68,7 @@ def poisson_multigrid_preconditioner(
     smooth_band: float = 4.0,
     mesh=None,
     replicate_below: int | None = None,
+    use_pallas: str = "auto",
 ) -> Callable:
     """V-cycle preconditioner z ≈ A⁻¹r for the nsize×nsize Poisson
     stencil (A = the unit 5-point stencil at every level).
@@ -99,22 +104,33 @@ def poisson_multigrid_preconditioner(
                 f"nsize={nsize} not divisible by 2**{levels - 1}"
             )
 
-    smoother = chebyshev_preconditioner(
-        stencil_5pt_apply, lam_max / smooth_band, lam_max,
-        order=max(pre_smooth, 1), reference_form=False,
+    # Smoothers route through chebyshev_stencil_preconditioner: same
+    # semi-iteration polynomial, but f32 single-device applications
+    # take the Pallas VMEM kernels (whole-grid when it fits, the
+    # blocked trapezoidal kernel beyond — measured 36× the jnp
+    # recurrence at order 8, 4096²). The distributed (mesh=) cycle
+    # stays on the jnp route: a pallas_call would force its sharded
+    # operand local.
+    from gmres_tpu.precond.chebyshev import (
+        chebyshev_stencil_preconditioner,
     )
-    post_smoother = chebyshev_preconditioner(
-        stencil_5pt_apply, lam_max / smooth_band, lam_max,
-        order=max(post_smooth, 1), reference_form=False,
+
+    up = "never" if mesh is not None else use_pallas
+    smoother = chebyshev_stencil_preconditioner(
+        lam_max / smooth_band, lam_max,
+        order=max(pre_smooth, 1), use_pallas=up,
+    )
+    post_smoother = chebyshev_stencil_preconditioner(
+        lam_max / smooth_band, lam_max,
+        order=max(post_smooth, 1), use_pallas=up,
     )
 
     def coarse_solver_for(n: int) -> Callable:
         import math
 
         lam_min = 8.0 * math.sin(math.pi / (2 * (n + 1))) ** 2
-        return chebyshev_preconditioner(
-            stencil_5pt_apply, lam_min, lam_max,
-            order=coarse_order, reference_form=False,
+        return chebyshev_stencil_preconditioner(
+            lam_min, lam_max, order=coarse_order, use_pallas=up,
         )
 
     coarse_solve = coarse_solver_for(sizes[-1])
