@@ -328,6 +328,44 @@ def cmd_weak_scaling(args):
     _emit(records, args)
 
 
+def cmd_scale(args):
+    """Single-chip scale sweep (docs/DESIGN.md scale table): the
+    production configuration — multigrid-preconditioned mixed-precision
+    GMRES-IR certified on the TRUE residual — across growing grids.
+    Beyond the reference, whose largest driver grid is 1000²
+    (test_cg.f90:20-24) on a single shared-memory node."""
+    from gmres_tpu.precond.multigrid import (
+        poisson_multigrid_preconditioner,
+    )
+
+    records = []
+    for n in (int(s) for s in args.grids.split(",")):
+        op = gt.poisson_operator(n)
+        m_inv = poisson_multigrid_preconditioner(n)
+        b = op(jnp.ones((n, n), dtype=jnp.float64))
+        m = args.restart
+        fn = jax.jit(
+            lambda bb, o=op, mi=m_inv: gt.gmres(
+                o, bb, restart=m, tol=args.tol, M=mi,
+                variant="householder", compute_v_err=False,
+                inner_dtype=jnp.float32, certify="true",
+            )
+        )
+        res, dt = _timed(fn, b)
+        records.append(
+            record_from_result(
+                f"gmres-hh-mg-ir-{n}x{n}", res, wall_s=dt,
+                tol=args.tol, nnz=5 * n * n - 4 * n,
+                extra={
+                    "total_iters": max(int(res.restarts) - 1, 0) * m
+                    + int(res.iterations),
+                    "true_certified": True,
+                },
+            )
+        )
+    _emit(records, args)
+
+
 def cmd_restart_sweep(args):
     """The reference's 'weak_scaling' program is actually this: fixed
     grid, m = start, start+step, ... (weak_scaling.f90:24,61)."""
@@ -517,6 +555,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("weak-scaling", cmd_weak_scaling, nsize_per_device=128,
         restart=50, tol=1e-12, max_restarts=1000, max_devices=0,
         explicit_halo=False)
+    add("scale", cmd_scale, grids="300,600,1200,2048,4096", restart=10,
+        tol=1e-8)
     add("restart-sweep", cmd_restart_sweep, nsize=280, start=20, step=5,
         ntests=10, tol=1e-15, max_restarts=1000)
     add("spmv", cmd_spmv, nsize=512, reps=20, skip_sparse=False)

@@ -33,6 +33,7 @@ from benchmarks.cli import main
         ["restart-sweep", "--nsize", "16", "--start", "5", "--step", "5",
          "--ntests", "2", "--tol", "1e-8"],
         ["spmv", "--nsize", "32", "--reps", "2"],
+        ["scale", "--grids", "16,32", "--restart", "8", "--tol", "1e-8"],
     ],
 )
 def test_cli_smoke(argv, capsys):
