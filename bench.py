@@ -56,8 +56,8 @@ def _device_reachable(timeout_s: float = 90.0) -> bool:
 
 
 def _probe_with_retries() -> bool:
-    """Give the accelerator several chances over ~8 minutes before
-    concluding it is down.
+    """Give the accelerator several chances (worst case ~17 minutes:
+    120+30+330+60+480 s) before concluding it is down.
 
     Round-1 lesson: a single 90 s probe turned one transient tunnel
     outage into a CPU-fallback benchmark of record. Observed tunnel
@@ -371,8 +371,7 @@ def main():
     )
 
     nvars = nsize * nsize
-    nvars_label = f"{nvars // 1000}k" if nvars % 1000 == 0 or nvars >= 10000 \
-        else str(nvars)
+    nvars_label = f"{nvars // 1000}k" if nvars % 1000 == 0 else str(nvars)
     print(json.dumps({
         "metric": (
             f"time_to_rel_residual_{args.tol:g}_gmres_hh_{args.config}"

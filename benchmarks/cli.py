@@ -457,6 +457,11 @@ def cmd_spmv(args):
         # the Poisson CSR the residue is empty, so this IS the CSR
         # matrix running gather-free — the north-star CSR/COO SpMV
         # measured at DIA speed instead of XLA-gather (scalar) speed.
+        # All sparse rows DELIBERATELY measure the closure-constant
+        # regime (matrix baked into the jit) because that is how
+        # sparse_operator closures run inside solvers; the
+        # argument-passed regime differs (CLAUDE.md rule 10) and is
+        # recorded in DESIGN.md §6.
         hyb = sp.csr_to_hyb(csr)
         hyb32 = sp.HYBMatrix(
             dia=sp.DIAMatrix(data=hyb.dia.data.astype(jnp.float32),

@@ -319,9 +319,12 @@ def csr_to_hyb(
     max_len = np.minimum(n_rows - np.maximum(uniq, 0),
                          n_cols + np.minimum(uniq, 0))
     occ = counts / np.maximum(max_len, 1)
-    chosen = uniq[occ >= min_occupancy]
+    eligible = occ >= min_occupancy
+    chosen = uniq[eligible]
     if chosen.size > max_diags:
-        order = np.argsort(-counts[occ >= min_occupancy])
+        # best-OCCUPIED first (a fully-occupied short diagonal beats a
+        # long sparse one — raw counts would invert that)
+        order = np.argsort(-occ[eligible])
         chosen = chosen[order[:max_diags]]
     dia_offsets = tuple(int(o) for o in np.sort(chosen))
     dia_data = np.zeros((max(len(dia_offsets), 1), n_rows),

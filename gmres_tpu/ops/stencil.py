@@ -195,6 +195,33 @@ def _blocked_kernel(nblocks: int):
     return kernel
 
 
+def stencil_blocked_feasible(n: int) -> bool:
+    """True iff `stencil_5pt_pallas_blocked` can tile an (n, n) grid
+    with its auto row sizing (whole grid in VMEM, or an 8-multiple
+    divisor of n within the row budget)."""
+    limit = max(8, (1 << 19) // max(n, 1))
+    if n <= limit:
+        return 3 * n * n * 4 <= 8 * 2**20  # whole-grid VMEM cap
+    return any(n % d == 0 for d in range(8, limit + 1, 8))
+
+
+def stencil_5pt_routed(x: jnp.ndarray) -> jnp.ndarray:
+    """Laplacian stencil routed by dtype/backend/shape: the blocked
+    Pallas kernel for f32 square grids on TPU (1.7× the jnp roll form
+    at 4096² — XLA's fusion degrades on large 2-D shapes), the jnp
+    form everywhere else (f64, CPU, sharded-unfriendly shapes). Only
+    for SINGLE-DEVICE use — a pallas_call forces a sharded operand
+    local."""
+    import jax as _jax
+
+    if (x.dtype == jnp.float32 and x.ndim == 2
+            and x.shape[0] == x.shape[1]
+            and _jax.default_backend() == "tpu"
+            and stencil_blocked_feasible(x.shape[0])):
+        return stencil_5pt_pallas_blocked(x)
+    return stencil_5pt_apply(x)
+
+
 def _auto_block_rows(n: int, budget_elems: int) -> int:
     """Largest divisor of n that is a multiple of 8 (or n itself) with
     rows·n ≤ budget_elems — keeps the operand set inside VMEM."""

@@ -136,7 +136,15 @@ def poisson_multigrid_preconditioner(
     coarse_solve = coarse_solver_for(sizes[-1])
 
     replicate_from = levels  # first level index to replicate (none)
-    apply_at = {l: stencil_5pt_apply for l in range(levels)}
+    # Residual stencils take the same routing as the smoothers:
+    # blocked Pallas on single-device f32, jnp otherwise/distributed.
+    if up != "never":
+        from gmres_tpu.ops.stencil import stencil_5pt_routed
+
+        _apply = stencil_5pt_routed
+    else:
+        _apply = stencil_5pt_apply
+    apply_at = {l: _apply for l in range(levels)}
     smoother_at = {l: (smoother, post_smoother) for l in range(levels)}
     coarse_at = coarse_solve
     if mesh is not None:

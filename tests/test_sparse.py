@@ -207,6 +207,10 @@ def test_hyb_split_exact():
     hyb = sp.csr_to_hyb(sp.csr_from_dense(dense))
     assert hyb.ell is not None  # stragglers must be in the residue
     assert len(hyb.dia.offsets) == 7  # all 7 dense diagonals extracted
+    # split accounting: dia nnz + residue nnz == total
+    total_nnz = int((dense != 0).sum())
+    res_nnz = int((np.asarray(hyb.ell.data) != 0).sum())
+    assert hyb.nnz_dia + res_nnz == total_nnz
     x = jnp.asarray(rng.standard_normal(dense.shape[0]))
     np.testing.assert_allclose(
         sp.hyb_spmv(hyb, x), dense @ np.asarray(x), rtol=1e-12
@@ -273,16 +277,29 @@ def test_dia_pallas_interpret(offsets_case):
 
 
 def test_dia_pallas_poisson_multiblock():
-    """Grid spans multiple row blocks (n > rows*128): block-halo
-    windows and edge clamping exercised."""
-    n = 90  # 8100 vars → 2+ blocks at rows=32
+    """Grid spans multiple row blocks: block-halo windows, the
+    neighbor-block index maps, and the cross-block carry rows are all
+    exercised (block_rows forced — the auto sizing would cover 8100
+    elements with a single 64-row block and leave the multi-block
+    paths untested)."""
+    n = 90
     a = sp.poisson_dia(n)
     x = jnp.asarray(
         np.random.default_rng(25).standard_normal((n, n))
     )
-    y = sp.dia_spmv_pallas(a, x.reshape(-1), interpret=True)
+    y = sp.dia_spmv_pallas(a, x.reshape(-1), interpret=True,
+                           block_rows=32)  # 8100/(32*128) → 2 blocks
     np.testing.assert_allclose(
         y, gt.poisson_apply(x).reshape(-1), rtol=1e-12
+    )
+    # and a 5-block case with offsets crossing several block widths
+    n2 = 160  # 25600 elems / (5*... ) — block_rows=40 → 5 blocks
+    a2 = sp.poisson_dia(n2)
+    x2 = jnp.asarray(np.random.default_rng(26).standard_normal((n2, n2)))
+    y2 = sp.dia_spmv_pallas(a2, x2.reshape(-1), interpret=True,
+                            block_rows=40)
+    np.testing.assert_allclose(
+        y2, gt.poisson_apply(x2).reshape(-1), rtol=1e-12
     )
 
 
