@@ -169,6 +169,7 @@ def _restarted(
     breakdown_check: bool,
     basis_init,
     certify_true: bool = False,
+    work_dtype=None,
 ):
     dtype = b.dtype
     beta0 = jnp.sqrt(tree_vdot(b, b))
@@ -176,7 +177,17 @@ def _restarted(
 
     def true_residual(x):
         r = b - A(x)
-        w = M(r) if M is not None else r
+        if M is None:
+            w = r
+        elif mixed and work_dtype is not None:
+            # The preconditioned direction only SEEDS the next cycle,
+            # which works in work_dtype anyway — so apply M at work
+            # precision (taking its Pallas route: the f64 multigrid
+            # V-cycle costs 38 ms at 4096² vs 2.9 ms in f32, per
+            # restart). The r used for certify_true's norm stays f64.
+            w = M(r.astype(work_dtype)).astype(dtype)
+        else:
+            w = M(r)
         beta_w = jnp.sqrt(tree_vdot(w, w))
         if certify_true:
             # Certification norm: the UNPRECONDITIONED residual — the
@@ -383,7 +394,7 @@ def _gmres_mgsr(
     x, k, n_out, ferr, v_basis, status, residual = _restarted(
         cycle, A, b, x0, m, tol, max_restarts, M, mixed,
         breakdown_check=True, basis_init=basis_init,
-        certify_true=certify_true,
+        certify_true=certify_true, work_dtype=work_dtype,
     )
 
     if compute_v_err:
@@ -549,7 +560,7 @@ def _gmres_householder(
     x, k, n_out, ferr, (p_basis, t_mat), status, residual = _restarted(
         cycle, A, b, x0, m, tol, max_restarts, M, mixed,
         breakdown_check=breakdown_check, basis_init=basis_init,
-        certify_true=certify_true,
+        certify_true=certify_true, work_dtype=work_dtype,
     )
 
     if compute_v_err:
