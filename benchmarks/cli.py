@@ -48,6 +48,18 @@ _cfg = jax.config.jax_platforms or ""
 if _plat and _cfg != _plat and _cfg.startswith("axon"):
     jax.config.update("jax_platforms", _plat)
 
+# Persistent compilation cache (see bench.py): remote-tunnel compiles
+# dominate fresh-process cost; executables are reused across runs.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jaxcache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover
+    pass
+
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402

@@ -42,5 +42,5 @@ def test_bench_probe_timeout_returns_false():
     src = open(os.path.join(root, "bench.py")).read()
     ns = {}
     fn_src = src.split("def _device_reachable")[1].split("\nif (")[0]
-    exec("import sys\ndef _device_reachable" + fn_src, ns)
+    exec("import sys, os\ndef _device_reachable" + fn_src, ns)
     assert ns["_device_reachable"](timeout_s=0.01) is False
