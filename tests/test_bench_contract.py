@@ -40,7 +40,7 @@ def test_bench_probe_timeout_returns_false():
     # Importing bench.py executes its module body (and a real probe);
     # grab just the probe function source instead.
     src = open(os.path.join(root, "bench.py")).read()
-    ns = {}
+    ns = {"__file__": os.path.join(root, "bench.py")}
     fn_src = src.split("def _device_reachable")[1].split("\nif (")[0]
     exec("import sys, os\ndef _device_reachable" + fn_src, ns)
     assert ns["_device_reachable"](timeout_s=0.01) is False
