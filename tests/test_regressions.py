@@ -116,3 +116,34 @@ class Test1x1Degenerate:
             M=lambda r: 1e6 * r, certify="true",
         )
         assert int(res.status) == gt.SolverStatus.CONVERGED
+
+
+def test_restart_seed_precision_semantics():
+    """Mixed mode applies M at WORK precision at restart boundaries
+    (the seed only feeds the next f32 cycle; at 4096^2 the f64 V-cycle
+    costs 13x the f32 one) — while pure-f64 mode must keep applying M
+    in f64 (reference iteration parity)."""
+    n = 24
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    seen = []
+
+    def recording_m(r):
+        seen.append(r.dtype)
+        return gt.chebyshev_preconditioner(op, 0.2, 8.2)(r)
+
+    # pure f64: every application in f64
+    seen.clear()
+    res = gt.gmres(op, b, restart=10, tol=1e-10, M=recording_m,
+                   compute_v_err=False, max_restarts=50)
+    assert bool(res.converged)
+    assert all(d == jnp.float64 for d in seen), set(seen)
+
+    # mixed: restart-boundary seeds arrive in f32
+    seen.clear()
+    res = gt.gmres(op, b, restart=10, tol=1e-8, M=recording_m,
+                   compute_v_err=False, max_restarts=50,
+                   inner_dtype=jnp.float32, certify="true")
+    assert bool(res.converged)
+    assert any(d == jnp.float32 for d in seen), set(seen)
+    np.testing.assert_allclose(res.x, 1.0, atol=1e-7)
