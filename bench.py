@@ -60,10 +60,15 @@ def _device_reachable(timeout_s: float = 90.0) -> bool:
         os.path.dirname(os.path.abspath(__file__)), ".jaxcache"
     )
     code = (
-        "import jax; "
-        f"jax.config.update('jax_compilation_cache_dir', {cache_dir!r}); "
-        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0); "
-        "import jax.numpy as jnp; print(float(jnp.asarray(1.0) + 1.0))"
+        "import jax\n"
+        "try:\n"
+        f"    jax.config.update('jax_compilation_cache_dir', {cache_dir!r})\n"
+        "    jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+        "except Exception:\n"
+        "    pass\n"
+        "import jax.numpy as jnp\n"
+        "print(float(jnp.asarray(1.0) + 1.0))\n"
     )
     try:
         r = subprocess.run(

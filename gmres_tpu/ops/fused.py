@@ -338,14 +338,7 @@ def _chebk_blocked_impl(
     n = r.shape[0]
     halo = 8 * (-(-(order - 1) // 8)) if order > 1 else 8
     if block_rows is None:
-        # ~2^18 elems/operand budget: the kernel keeps ~6 window-sized
-        # buffers (r, z, d, az, masks) live plus double buffering
-        # (measured: 64-row blocks at N=4096 compile and run).
-        limit = max(halo, (1 << 18) // max(n, 1))
-        block_rows = halo
-        for d in range(halo, min(limit, n) + 1, halo):
-            if n % d == 0:
-                block_rows = d
+        block_rows = _chebk_auto_rows(n, halo) or halo
     rows = min(block_rows, n)
     if n % rows != 0:
         raise ValueError(f"grid rows {n} not divisible by {rows}")
@@ -388,15 +381,26 @@ def _chebk_blocked_impl(
     )(scal, rho, r, r, r)
 
 
+def _chebk_auto_rows(n: int, halo: int) -> int | None:
+    """Largest halo-multiple divisor of n within the VMEM row budget
+    (~2^18 elems/operand: the kernel keeps ~6 window-sized buffers
+    live plus double buffering; 64-row blocks at N=4096 measured OK).
+    None if no such divisor exists. Single source of truth for both
+    the kernel's auto sizing and `chebyshev_blocked_feasible`."""
+    limit = max(halo, (1 << 18) // max(n, 1))
+    rows = None
+    for d in range(halo, min(limit, n) + 1, halo):
+        if n % d == 0:
+            rows = d
+    return rows
+
+
 def chebyshev_blocked_feasible(n: int, order: int) -> bool:
     """True iff `chebyshev_k_poisson_pallas_blocked` can tile an
-    (n, n) grid for this order (a halo-multiple divisor of n fits the
-    VMEM row budget)."""
+    (n, n) grid for this order — derived from the kernel's own sizing
+    helper so router and impl cannot drift."""
     halo = 8 * (-(-(order - 1) // 8)) if order > 1 else 8
-    limit = max(halo, (1 << 18) // max(n, 1))
-    return any(
-        n % d == 0 for d in range(halo, min(limit, n) + 1, halo)
-    )
+    return _chebk_auto_rows(n, halo) is not None
 
 
 def chebyshev_ref_scalars(lam_min: float, lam_max: float):

@@ -300,8 +300,9 @@ def csr_to_hyb(
     max_diags: int = 64,
 ) -> HYBMatrix:
     """Split CSR into DIA (diagonals occupied on ≥ min_occupancy of
-    eligible rows, best-occupied first, at most max_diags) + an ELL
-    residue for the leftovers (host-side).
+    eligible rows; when more than max_diags qualify, the most-covered
+    — highest entry count — are kept) + an ELL residue for the
+    leftovers (host-side).
 
     The split is exact — every nonzero lands in exactly one part — so
     ``hyb_spmv`` reproduces ``csr_spmv`` to roundoff. For a structured
@@ -322,9 +323,11 @@ def csr_to_hyb(
     eligible = occ >= min_occupancy
     chosen = uniq[eligible]
     if chosen.size > max_diags:
-        # best-OCCUPIED first (a fully-occupied short diagonal beats a
-        # long sparse one — raw counts would invert that)
-        order = np.argsort(-occ[eligible])
+        # most-COVERED first: a DIA diagonal costs a full n_rows slot
+        # regardless of its length, so with a fixed max_diags budget
+        # the objective is total nnz moved off the gather path —
+        # raw counts, not occupancy (occupancy is only the entry bar).
+        order = np.argsort(-counts[eligible])
         chosen = chosen[order[:max_diags]]
     dia_offsets = tuple(int(o) for o in np.sort(chosen))
     dia_data = np.zeros((max(len(dia_offsets), 1), n_rows),

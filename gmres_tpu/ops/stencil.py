@@ -197,12 +197,12 @@ def _blocked_kernel(nblocks: int):
 
 def stencil_blocked_feasible(n: int) -> bool:
     """True iff `stencil_5pt_pallas_blocked` can tile an (n, n) grid
-    with its auto row sizing (whole grid in VMEM, or an 8-multiple
-    divisor of n within the row budget)."""
-    limit = max(8, (1 << 19) // max(n, 1))
-    if n <= limit:
-        return 3 * n * n * 4 <= 8 * 2**20  # whole-grid VMEM cap
-    return any(n % d == 0 for d in range(8, limit + 1, 8))
+    with its auto row sizing — derived from the SAME sizing helper the
+    kernel uses, so the router and the impl cannot drift."""
+    rows = _auto_block_rows(n, 1 << 19)
+    if rows == n:
+        return True  # single-block path (n² ≤ 2^19 elems — fits VMEM)
+    return n % rows == 0 and rows % 8 == 0
 
 
 def stencil_5pt_routed(x: jnp.ndarray) -> jnp.ndarray:
@@ -217,6 +217,10 @@ def stencil_5pt_routed(x: jnp.ndarray) -> jnp.ndarray:
     if (x.dtype == jnp.float32 and x.ndim == 2
             and x.shape[0] == x.shape[1]
             and _jax.default_backend() == "tpu"
+            # single-chip only: on a multi-device runtime the operand
+            # may be GSPMD-sharded, and a pallas_call would force it
+            # local (gather the whole grid onto one chip)
+            and _jax.device_count() == 1
             and stencil_blocked_feasible(x.shape[0])):
         return stencil_5pt_pallas_blocked(x)
     return stencil_5pt_apply(x)

@@ -143,6 +143,11 @@ def chebyshev_stencil_preconditioner(
             r.dtype in (jnp.float32, jnp.bfloat16)
             and r.ndim == 2
             and jax.default_backend() == "tpu"
+            # single-chip only: a pallas_call forces a GSPMD-sharded
+            # operand local; multi-device runs keep the jnp route
+            # (per-shard Pallas use goes through shard_map +
+            # use_pallas="always")
+            and jax.device_count() == 1
         )
         # whole grid + 2 scratch buffers within a conservative VMEM cap
         whole_ok = dtype_ok and (

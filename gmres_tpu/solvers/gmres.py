@@ -185,7 +185,14 @@ def _restarted(
             # precision (taking its Pallas route: the f64 multigrid
             # V-cycle costs 38 ms at 4096² vs 2.9 ms in f32, per
             # restart). The r used for certify_true's norm stays f64.
-            w = M(r.astype(work_dtype)).astype(dtype)
+            # NORMALIZE IN f64 BEFORE THE CAST: casting the raw
+            # residual would break GMRES's scale invariance (‖b‖ ~
+            # 1e39 overflows f32 → spurious BREAKDOWN; ‖b‖ ~ 1e-40
+            # flushes to zero → false convergence). M is linear, so
+            # M(r) = ‖r‖·M(r/‖r‖) exactly.
+            r_norm = jnp.sqrt(tree_vdot(r, r))
+            scale = jnp.where(r_norm > 0, r_norm, jnp.ones_like(r_norm))
+            w = M((r / scale).astype(work_dtype)).astype(dtype) * scale
         else:
             w = M(r)
         beta_w = jnp.sqrt(tree_vdot(w, w))
@@ -383,11 +390,13 @@ def _gmres_mgsr(
         )
         y = masked_back_substitution(hmat, giv.g, n_out)
         # x += Σ y_r V_r : one matmul over the basis
-        # (gmres_mgsr.f90:400-406).
+        # (gmres_mgsr.f90:400-406). y is β-scaled — normalize before
+        # the work-dtype cast, rescale in f64 (scale invariance).
+        bsafe = jnp.where(beta > 0, beta, jnp.ones_like(beta))
         dx = jnp.tensordot(
-            y.astype(work_dtype), v_basis[:m], axes=(0, 0)
+            (y / bsafe).astype(work_dtype), v_basis[:m], axes=(0, 0)
         )
-        x = x + dx.astype(dtype)
+        x = x + bsafe * dx.astype(dtype)
         return x, n_out, ferr, h_val, v_basis
 
     basis_init = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
@@ -503,9 +512,14 @@ def _gmres_householder(
         w0 = flat_get(w, 0)
         s = _fortran_sign(beta, w0)
         g0 = jnp.zeros((m + 1,), dtype=dtype).at[0].set(-s)
-        u = (w + jnp.where(fidx == 0, s, jnp.zeros_like(w))).astype(
-            work_dtype
-        )
+        # Normalize by β (in the OUTER dtype) before the work-dtype
+        # cast: u is immediately normalized to P₁ anyway, and casting
+        # the raw β-scaled vector would overflow/flush f32 for
+        # ‖b‖ outside f32 range (scale invariance).
+        u = (
+            (w + jnp.where(fidx == 0, s, jnp.zeros_like(w)))
+            / jnp.where(beta > 0, beta, jnp.ones_like(beta))
+        ).astype(work_dtype)
         unorm = jnp.sqrt(tree_vdot(u, u))
         p_basis = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
         p_basis = p_basis.at[0].set(u / jnp.where(unorm > 0, unorm, 1.0))
@@ -546,11 +560,16 @@ def _gmres_householder(
         y = masked_back_substitution(hmat, giv.g, n_out)
         # Update direction: Q [y; 0] (gmres_hh.f90:537-558) — one
         # compact-WY application instead of n_out reflector sweeps.
+        # y is β-scaled (g carries β): normalize before the work-dtype
+        # cast and rescale the linear application's output in f64, so
+        # the mixed path stays exactly scale invariant.
+        bsafe = jnp.where(beta > 0, beta, jnp.ones_like(beta))
         yvec = (
-            jnp.zeros((n,), dtype=dtype).at[: m].set(y).reshape(shape)
+            jnp.zeros((n,), dtype=dtype).at[: m].set(y / bsafe)
+            .reshape(shape)
         ).astype(work_dtype)
         dx = wy.wy_apply(p_basis, t_mat, yvec)
-        x = x + dx.astype(dtype)
+        x = x + bsafe * dx.astype(dtype)
         return x, n_out, ferr, h_val, (p_basis, t_mat)
 
     basis_init = (
@@ -625,6 +644,12 @@ def gmres(
         mixed-precision iterative-refinement fast path: convergence is
         then certified by the f64 true residual at restart boundaries,
         NOT the inner estimate — same 1e-8 answer, TPU-native speed.
+        In mixed mode the restart-boundary preconditioner application
+        itself runs at work precision (on the f64-normalized residual,
+        so scale invariance is exact); with certify="preconditioned"
+        the certification norm ‖M(r)‖ is therefore work-precision
+        accurate (~1e-7 relative) — use certify="true" for an
+        f64-exact certification norm.
       x0: initial guess, defaults to zeros (all reference drivers use 0).
       certify: norm for restart-boundary convergence certification.
         "preconditioned" (default, reference semantics): ‖M(b−Ax)‖/β₀.

@@ -147,3 +147,22 @@ def test_restart_seed_precision_semantics():
     assert bool(res.converged)
     assert any(d == jnp.float32 for d in seen), set(seen)
     np.testing.assert_allclose(res.x, 1.0, atol=1e-7)
+
+
+def test_mixed_mode_scale_invariance():
+    """Mixed-precision restart seeding must stay scale invariant: the
+    f64→f32 cast happens on the NORMALIZED residual (casting raw
+    residuals would overflow f32 at ||b|| ~ 1e39 → spurious BREAKDOWN,
+    and flush to zero at ||b|| ~ 1e-40 → false convergence at x=0)."""
+    n = 24
+    op = gt.poisson_operator(n)
+    m_inv = gt.chebyshev_preconditioner(op, 0.2, 8.2)
+    base = op(jnp.ones((n, n)))
+    for s in (1e39, 1e-40):
+        b = base * s
+        res = gt.gmres(op, b, restart=10, tol=1e-8, M=m_inv,
+                       compute_v_err=False, max_restarts=100,
+                       inner_dtype=jnp.float32, certify="true")
+        assert int(res.status) == gt.SolverStatus.CONVERGED, s
+        np.testing.assert_allclose(np.asarray(res.x) / s, 1.0,
+                                   atol=1e-6, err_msg=str(s))
