@@ -54,6 +54,7 @@ from gmres_tpu.models.convection_diffusion import (
     convection_diffusion_apply,
     convection_diffusion_operator,
 )
+from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.ops.sparse import (
     BSRMatrix,
     COOMatrix,
@@ -81,6 +82,7 @@ __all__ = [
     "cg",
     "bicgstab",
     "gmres",
+    "fgmres",
     "sstep_gmres",
     "lanczos_bounds",
     "power_iteration_bound",

@@ -1,0 +1,210 @@
+"""Flexible GMRES (FGMRES, Saad '93) — right preconditioning with a
+possibly NONLINEAR / iteration-varying preconditioner.
+
+Beyond the reference: its only preconditioning hook is a fixed linear
+left application (``precond`` contract, interfaces.f90:19-28), under
+which GMRES's Krylov-space theory requires M to be the SAME linear
+operator at every application. FGMRES stores the preconditioned
+directions z_t = M(v_t) in their own basis Z and minimizes the TRUE
+residual over span(Z): M may be an inner iterative solve (CG/GMRES
+with a fixed step budget — nonlinear in its input), a cycling
+preconditioner, or anything else callable.
+
+TPU design notes (same playbook as solvers/gmres.py):
+
+* Two fixed-size bases — V (m+1, shape) for the Arnoldi vectors and
+  Z (m, shape) for the preconditioned directions — zero-initialized so
+  the CGS2 sweeps need no masks. Memory is 2× left-preconditioned
+  GMRES; that is the algorithmic price of flexibility.
+* One ``lax.while_loop`` per restart cycle, all state on-device.
+* CGS2 orthogonalization (one all-reduce per pass).
+* The Givens estimate |g(t+1)|/β₀ IS the true unpreconditioned
+  relative residual (right preconditioning minimizes ‖b − A x‖
+  directly), so no separate certification norm is needed; mixed
+  precision still re-verifies in f64 at restart boundaries.
+* Mixed precision (``inner_dtype=float32``): basis work in f32 with
+  β-normalized casts (scale invariance — see gmres.py), residuals and
+  x in f64, restart-boundary convergence decided by the f64 true
+  residual.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gmres_tpu.ops.blas import tree_vdot
+from gmres_tpu.ops.givens import givens_init, givens_step
+from gmres_tpu.ops.tri import masked_back_substitution
+from gmres_tpu.solvers.gmres import _as_operator, _cgs_pass
+from gmres_tpu.types import (
+    GmresResult,
+    LinearOperator,
+    Preconditioner,
+    SolverStatus,
+)
+
+
+def fgmres(
+    A,
+    b: jnp.ndarray,
+    *,
+    restart: int = 30,
+    tol: float = 1e-8,
+    max_restarts: int = 1000,
+    M: Optional[Preconditioner] = None,
+    inner_dtype=None,
+    x0: Optional[jnp.ndarray] = None,
+    compute_v_err: bool = False,
+) -> GmresResult:
+    """Solve A x = b by restarted FGMRES(restart) (module docstring).
+
+    Args:
+      M: right preconditioner applied to the Arnoldi vector each step,
+        z_t = M(v_t). May be nonlinear / iteration-varying (an inner
+        solver with a fixed step budget is the canonical use). None
+        reduces to plain (unpreconditioned) GMRES.
+      inner_dtype: work dtype for the V/Z bases and M/A applications
+        inside the cycle (float32 = the TPU fast path); convergence is
+        then certified by the f64 true residual at restart boundaries.
+      compute_v_err: orthogonality audit of V (‖I − VᵀV‖-style metric,
+        same definition as the MGSR variant's).
+    """
+    op = _as_operator(A)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    dtype = b.dtype
+    shape = b.shape
+    m = min(restart, b.size - 1) if b.size > 1 else 1
+    work_dtype = jnp.dtype(inner_dtype) if inner_dtype is not None \
+        else dtype
+    mixed = work_dtype != dtype
+    tiny = jnp.finfo(dtype).tiny
+    beta0 = jnp.sqrt(tree_vdot(b, b))
+
+    def residual(x):
+        r = b - op(x)
+        return r, jnp.sqrt(tree_vdot(r, r))
+
+    def cycle(x, r, beta):
+        bsafe = jnp.where(beta > 0, beta, jnp.ones_like(beta))
+        v_basis = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
+        v_basis = v_basis.at[0].set((r / bsafe).astype(work_dtype))
+        z_basis = jnp.zeros((m,) + shape, dtype=work_dtype)
+        giv = givens_init(m, jnp.zeros((m + 1,), dtype).at[0].set(beta))
+        giv = giv._replace(beta0=jnp.maximum(beta0, tiny))
+        hmat = jnp.zeros((m + 1, m), dtype=dtype)
+        ferr = jnp.zeros((m,), dtype=dtype)
+
+        def body(st):
+            (t, v_basis, z_basis, hmat, giv, h_val_p, n_out, ferr), _ = st
+            v_t = jax.lax.dynamic_index_in_dim(
+                v_basis, t, axis=0, keepdims=False
+            )
+            with jax.named_scope("fgmres.precond"):
+                z_t = M(v_t) if M is not None else v_t
+            z_basis = z_basis.at[t].set(z_t.astype(work_dtype))
+            with jax.named_scope("fgmres.spmv"):
+                w = op(z_t).astype(work_dtype)
+            with jax.named_scope("fgmres.orthogonalize"):
+                h1, w = _cgs_pass(v_basis, w)
+                h2, w = _cgs_pass(v_basis, w)
+            h_val = jnp.sqrt(tree_vdot(w, w))
+            hcol = (h1 + h2).astype(dtype).at[t + 1].set(
+                h_val.astype(dtype)
+            )
+            giv, col, g_next = givens_step(giv, hcol, t)
+            hmat = jax.lax.dynamic_update_slice(
+                hmat, col[:, None], (jnp.zeros((), t.dtype), t)
+            )
+            rel = jnp.abs(g_next) / giv.beta0
+            ferr = ferr.at[t].set(rel)
+            v_basis = v_basis.at[t + 1].set(
+                w / jnp.where(h_val > 0, h_val, 1.0)
+            )
+            converged = (rel < tol) | (h_val.astype(dtype) < tol)
+            return (
+                (t + 1, v_basis, z_basis, hmat, giv,
+                 h_val.astype(dtype), t + 1, ferr),
+                converged,
+            )
+
+        def cond(st):
+            (t, *_), converged = st[0], st[1]
+            return (t < m) & (~converged)
+
+        st0 = (
+            (jnp.int32(0), v_basis, z_basis, hmat, giv,
+             jnp.zeros((), dtype), jnp.int32(0), ferr),
+            jnp.array(False),
+        )
+        (t, v_basis, z_basis, hmat, giv, h_val, n_out, ferr), _ = (
+            jax.lax.while_loop(cond, body, st0)
+        )
+        y = masked_back_substitution(hmat, giv.g, n_out)
+        # x += Z y (β-normalized cast, f64 rescale — scale invariance).
+        dx = jnp.tensordot(
+            (y / bsafe).astype(work_dtype), z_basis, axes=(0, 0)
+        )
+        x = x + bsafe * dx.astype(dtype)
+        return x, n_out, ferr, h_val, v_basis
+
+    r_init, beta_init = residual(x0)
+    rel0 = beta_init / jnp.maximum(beta0, tiny)
+    converged0 = (beta0 == 0) | (rel0 < tol)
+
+    def outer_cond(carry):
+        _, k, _, _, conv, brk, *_ = carry
+        return (k < max_restarts) & (~conv) & (~brk)
+
+    def outer_body(carry):
+        x, k, r, beta, _, _, _, ferr_p, vb_p = carry
+        x_new, n_out, ferr, h_val, v_basis = cycle(x, r, beta)
+        r_new, beta_new = residual(x_new)
+        rel = beta_new / jnp.maximum(beta0, tiny)
+        if mixed:
+            converged = rel < tol
+            ferr = ferr.at[jnp.maximum(n_out - 1, 0)].set(rel)
+        else:
+            converged = ferr[jnp.maximum(n_out - 1, 0)] < tol
+        breakdown = (h_val < tol) & (~converged)
+        breakdown = breakdown | ~jnp.isfinite(beta_new)
+        return (x_new, k + 1, r_new, beta_new, converged, breakdown,
+                n_out, ferr, v_basis)
+
+    carry0 = (
+        x0, jnp.int32(0), r_init, beta_init, converged0,
+        jnp.array(False), jnp.int32(0), jnp.zeros((m,), dtype),
+        jnp.zeros((m + 1,) + shape, dtype=work_dtype),
+    )
+    x, k, _, beta_last, converged, breakdown, n_out, ferr, v_basis = (
+        jax.lax.while_loop(outer_cond, outer_body, carry0)
+    )
+    status = jnp.where(
+        converged,
+        jnp.int32(SolverStatus.CONVERGED),
+        jnp.where(
+            breakdown,
+            jnp.int32(SolverStatus.BREAKDOWN),
+            jnp.int32(SolverStatus.MAX_ITERATIONS),
+        ),
+    )
+    if compute_v_err:
+        from gmres_tpu.solvers.gmres import _v_err_mgsr
+
+        gram = (
+            v_basis.reshape(m + 1, -1) @ v_basis.reshape(m + 1, -1).T
+        ).astype(dtype)
+        v_err = _v_err_mgsr(gram, n_out, dtype)
+    else:
+        v_err = jnp.zeros((m + 1,), dtype=dtype)
+    residual_last = jnp.where(
+        k > 0, ferr[jnp.maximum(n_out - 1, 0)],
+        beta_last / jnp.maximum(beta0, tiny),
+    )
+    return GmresResult(
+        x=x, iterations=n_out, restarts=k, residual=residual_last,
+        status=status, residual_history=ferr, v_err=v_err,
+    )
