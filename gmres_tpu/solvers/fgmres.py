@@ -16,16 +16,18 @@ TPU design notes (same playbook as solvers/gmres.py):
   Z (m, shape) for the preconditioned directions — zero-initialized so
   the CGS2 sweeps need no masks. Memory is 2× left-preconditioned
   GMRES; that is the algorithmic price of flexibility.
-* One ``lax.while_loop`` per restart cycle, all state on-device.
+* The restart driver is the SHARED ``_restarted`` machinery of
+  gmres.py (called with M=None: FGMRES's restart residual is the raw
+  unpreconditioned one, and the Givens estimate |g(t+1)|/β₀ IS the
+  true relative residual, since right preconditioning minimizes
+  ‖b − A x‖ directly).
 * CGS2 orthogonalization (one all-reduce per pass).
-* The Givens estimate |g(t+1)|/β₀ IS the true unpreconditioned
-  relative residual (right preconditioning minimizes ‖b − A x‖
-  directly), so no separate certification norm is needed; mixed
-  precision still re-verifies in f64 at restart boundaries.
 * Mixed precision (``inner_dtype=float32``): basis work in f32 with
-  β-normalized casts (scale invariance — see gmres.py), residuals and
-  x in f64, restart-boundary convergence decided by the f64 true
-  residual.
+  β-normalized casts (scale invariance), x/residuals in f64,
+  restart-boundary convergence decided by the f64 true residual, and
+  the inner loop floored at the work dtype's per-cycle progress limit
+  (same floor as gmres.py — without it, cycles spin full restart
+  length on f32 noise).
 """
 
 from __future__ import annotations
@@ -38,10 +40,14 @@ import jax.numpy as jnp
 from gmres_tpu.ops.blas import tree_vdot
 from gmres_tpu.ops.givens import givens_init, givens_step
 from gmres_tpu.ops.tri import masked_back_substitution
-from gmres_tpu.solvers.gmres import _as_operator, _cgs_pass
+from gmres_tpu.solvers.gmres import (
+    _as_operator,
+    _cgs_pass,
+    _restarted,
+    _v_err_mgsr,
+)
 from gmres_tpu.types import (
     GmresResult,
-    LinearOperator,
     Preconditioner,
     SolverStatus,
 )
@@ -73,30 +79,66 @@ def fgmres(
         same definition as the MGSR variant's).
     """
     op = _as_operator(A)
+    dtype = b.dtype
+    if b.size == 1:
+        # Degenerate 1×1 system (same semantics as gmres's guard): the
+        # machinery needs n ≥ m+1 ≥ 2; solve directly. FGMRES certifies
+        # the unpreconditioned residual, so M never enters the norm.
+        a_val = op(jnp.ones_like(b))
+        singular = a_val == 0
+        x = jnp.where(~singular, b / jnp.where(~singular, a_val, 1.0),
+                      jnp.zeros_like(b))
+        if x0 is not None:
+            x = jnp.where(~singular, x, x0)
+        r = b - op(x)
+        residual = jnp.sqrt(tree_vdot(r, r)) / jnp.maximum(
+            jnp.sqrt(tree_vdot(b, b)), jnp.finfo(dtype).tiny
+        )
+        status = jnp.where(
+            residual < tol,
+            jnp.int32(SolverStatus.CONVERGED),
+            jnp.where(
+                jnp.squeeze(singular),
+                jnp.int32(SolverStatus.BREAKDOWN),
+                jnp.int32(SolverStatus.MAX_ITERATIONS),
+            ),
+        )
+        return GmresResult(
+            x=x, iterations=jnp.int32(1), restarts=jnp.int32(1),
+            residual=residual, status=status,
+            residual_history=jnp.full((1,), residual, dtype=dtype),
+            v_err=jnp.zeros((2,), dtype=dtype),
+        )
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    dtype = b.dtype
     shape = b.shape
-    m = min(restart, b.size - 1) if b.size > 1 else 1
+    m = min(restart, b.size - 1)
     work_dtype = jnp.dtype(inner_dtype) if inner_dtype is not None \
         else dtype
     mixed = work_dtype != dtype
     tiny = jnp.finfo(dtype).tiny
     beta0 = jnp.sqrt(tree_vdot(b, b))
+    inner_gain = float(jnp.finfo(work_dtype).eps) * 10.0
 
-    def residual(x):
-        r = b - op(x)
-        return r, jnp.sqrt(tree_vdot(r, r))
-
-    def cycle(x, r, beta):
+    def cycle(x, r, beta, beta0_arg):
         bsafe = jnp.where(beta > 0, beta, jnp.ones_like(beta))
         v_basis = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
         v_basis = v_basis.at[0].set((r / bsafe).astype(work_dtype))
         z_basis = jnp.zeros((m,) + shape, dtype=work_dtype)
         giv = givens_init(m, jnp.zeros((m + 1,), dtype).at[0].set(beta))
-        giv = giv._replace(beta0=jnp.maximum(beta0, tiny))
+        giv = giv._replace(beta0=jnp.maximum(beta0_arg, tiny))
         hmat = jnp.zeros((m + 1, m), dtype=dtype)
         ferr = jnp.zeros((m,), dtype=dtype)
+        # Same per-cycle progress floor as gmres.py: below ~ε_work of
+        # the cycle-start residual, the f32 estimate no longer tracks
+        # the true residual — stop the cycle instead of spinning.
+        if mixed:
+            inner_floor = jnp.maximum(
+                jnp.asarray(tol, dtype),
+                (beta / jnp.maximum(beta0_arg, tiny)) * inner_gain,
+            )
+        else:
+            inner_floor = jnp.asarray(tol, dtype)
 
         def body(st):
             (t, v_basis, z_basis, hmat, giv, h_val_p, n_out, ferr), _ = st
@@ -124,7 +166,9 @@ def fgmres(
             v_basis = v_basis.at[t + 1].set(
                 w / jnp.where(h_val > 0, h_val, 1.0)
             )
-            converged = (rel < tol) | (h_val.astype(dtype) < tol)
+            converged = (rel < inner_floor) | (
+                h_val.astype(dtype) < tol
+            )
             return (
                 (t + 1, v_basis, z_basis, hmat, giv,
                  h_val.astype(dtype), t + 1, ferr),
@@ -151,60 +195,25 @@ def fgmres(
         x = x + bsafe * dx.astype(dtype)
         return x, n_out, ferr, h_val, v_basis
 
-    r_init, beta_init = residual(x0)
-    rel0 = beta_init / jnp.maximum(beta0, tiny)
-    converged0 = (beta0 == 0) | (rel0 < tol)
-
-    def outer_cond(carry):
-        _, k, _, _, conv, brk, *_ = carry
-        return (k < max_restarts) & (~conv) & (~brk)
-
-    def outer_body(carry):
-        x, k, r, beta, _, _, _, ferr_p, vb_p = carry
-        x_new, n_out, ferr, h_val, v_basis = cycle(x, r, beta)
-        r_new, beta_new = residual(x_new)
-        rel = beta_new / jnp.maximum(beta0, tiny)
-        if mixed:
-            converged = rel < tol
-            ferr = ferr.at[jnp.maximum(n_out - 1, 0)].set(rel)
-        else:
-            converged = ferr[jnp.maximum(n_out - 1, 0)] < tol
-        breakdown = (h_val < tol) & (~converged)
-        breakdown = breakdown | ~jnp.isfinite(beta_new)
-        return (x_new, k + 1, r_new, beta_new, converged, breakdown,
-                n_out, ferr, v_basis)
-
-    carry0 = (
-        x0, jnp.int32(0), r_init, beta_init, converged0,
-        jnp.array(False), jnp.int32(0), jnp.zeros((m,), dtype),
-        jnp.zeros((m + 1,) + shape, dtype=work_dtype),
+    # Shared restart driver with M=None: the restart residual IS the
+    # unpreconditioned one (right preconditioning), and mixed-mode
+    # certification uses the f64 true residual — exactly _restarted's
+    # M=None semantics.
+    basis_init = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
+    x, k, n_out, ferr, v_basis, status, residual = _restarted(
+        cycle, op, b, x0, m, tol, max_restarts, None, mixed,
+        breakdown_check=True, basis_init=basis_init,
+        certify_true=False, work_dtype=work_dtype,
     )
-    x, k, _, beta_last, converged, breakdown, n_out, ferr, v_basis = (
-        jax.lax.while_loop(outer_cond, outer_body, carry0)
-    )
-    status = jnp.where(
-        converged,
-        jnp.int32(SolverStatus.CONVERGED),
-        jnp.where(
-            breakdown,
-            jnp.int32(SolverStatus.BREAKDOWN),
-            jnp.int32(SolverStatus.MAX_ITERATIONS),
-        ),
-    )
+
     if compute_v_err:
-        from gmres_tpu.solvers.gmres import _v_err_mgsr
-
         gram = (
             v_basis.reshape(m + 1, -1) @ v_basis.reshape(m + 1, -1).T
         ).astype(dtype)
         v_err = _v_err_mgsr(gram, n_out, dtype)
     else:
         v_err = jnp.zeros((m + 1,), dtype=dtype)
-    residual_last = jnp.where(
-        k > 0, ferr[jnp.maximum(n_out - 1, 0)],
-        beta_last / jnp.maximum(beta0, tiny),
-    )
     return GmresResult(
-        x=x, iterations=n_out, restarts=k, residual=residual_last,
+        x=x, iterations=n_out, restarts=k, residual=residual,
         status=status, residual_history=ferr, v_err=v_err,
     )
