@@ -56,6 +56,9 @@ def _device_reachable(timeout_s: float = 90.0) -> bool:
     it probes exactly the backend this process would use."""
     import subprocess
 
+    # cache_dir recomputed here (not the module-level _cache_dir) so
+    # the function stays self-contained — test_bench_contract extracts
+    # and execs just this function's source.
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jaxcache"
     )

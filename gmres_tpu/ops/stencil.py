@@ -212,15 +212,13 @@ def stencil_5pt_routed(x: jnp.ndarray) -> jnp.ndarray:
     form everywhere else (f64, CPU, sharded-unfriendly shapes). Only
     for SINGLE-DEVICE use — a pallas_call forces a sharded operand
     local."""
-    import jax as _jax
-
     if (x.dtype == jnp.float32 and x.ndim == 2
             and x.shape[0] == x.shape[1]
-            and _jax.default_backend() == "tpu"
+            and jax.default_backend() == "tpu"
             # single-chip only: on a multi-device runtime the operand
             # may be GSPMD-sharded, and a pallas_call would force it
             # local (gather the whole grid onto one chip)
-            and _jax.device_count() == 1
+            and jax.device_count() == 1
             and stencil_blocked_feasible(x.shape[0])):
         return stencil_5pt_pallas_blocked(x)
     return stencil_5pt_apply(x)

@@ -115,6 +115,8 @@ def poisson_multigrid_preconditioner(
         chebyshev_stencil_preconditioner,
     )
 
+    import math
+
     up = "never" if mesh is not None else use_pallas
     smoother = chebyshev_stencil_preconditioner(
         lam_max / smooth_band, lam_max,
@@ -124,16 +126,13 @@ def poisson_multigrid_preconditioner(
         lam_max / smooth_band, lam_max,
         order=max(post_smooth, 1), use_pallas=up,
     )
-
-    def coarse_solver_for(n: int) -> Callable:
-        import math
-
-        lam_min = 8.0 * math.sin(math.pi / (2 * (n + 1))) ** 2
-        return chebyshev_stencil_preconditioner(
-            lam_min, lam_max, order=coarse_order, use_pallas=up,
-        )
-
-    coarse_solve = coarse_solver_for(sizes[-1])
+    # coarsest level's exact λ_min: solve its full spectrum
+    lam_min_coarse = 8.0 * math.sin(
+        math.pi / (2 * (sizes[-1] + 1))
+    ) ** 2
+    coarse_solve = chebyshev_stencil_preconditioner(
+        lam_min_coarse, lam_max, order=coarse_order, use_pallas=up,
+    )
 
     replicate_from = levels  # first level index to replicate (none)
     # Residual stencils take the same routing as the smoothers:
@@ -179,13 +178,8 @@ def poisson_multigrid_preconditioner(
             stencil_repl, lam_max / smooth_band, lam_max,
             order=max(post_smooth, 1), reference_form=False,
         )
-        import math as _math
-
-        _lam_min_c = 8.0 * _math.sin(
-            _math.pi / (2 * (sizes[-1] + 1))
-        ) ** 2
         repl_coarse = chebyshev_preconditioner(
-            stencil_repl, _lam_min_c, lam_max,
+            stencil_repl, lam_min_coarse, lam_max,
             order=coarse_order, reference_form=False,
         )
         for l in range(replicate_from, levels):
