@@ -238,17 +238,30 @@ def cmd_convdiff(args):
         m_inv = gt.convection_diffusion_multigrid_preconditioner(
             n, args.gamma_x, args.gamma_y
         )
-    fn = jax.jit(
-        lambda bb: gt.bicgstab(
-            op, bb, tol=args.tol, max_iterations=args.max_iterations,
-            M=m_inv,
+    if args.solver == "gmres":
+        # GMRES's residual comes from the projected least-squares (and
+        # certify="true" re-verifies in f64) — the reliable choice when
+        # BiCGSTAB's recursive residual hits its attainable-accuracy
+        # limit (observed at 1024^2: recurrence 1e-14, truth 1e-4).
+        fn = jax.jit(
+            lambda bb: gt.gmres(
+                op, bb, restart=30, tol=args.tol, M=m_inv,
+                certify="true", compute_v_err=False,
+                max_restarts=max(args.max_iterations // 30, 1),
+            )
         )
-    )
+    else:
+        fn = jax.jit(
+            lambda bb: gt.bicgstab(
+                op, bb, tol=args.tol, max_iterations=args.max_iterations,
+                M=m_inv,
+            )
+        )
     res, dt = _timed(fn, b)
     _emit(
         [
             record_from_result(
-                f"bicgstab-convdiff-{n}x{n}", res,
+                f"{args.solver}-convdiff-{n}x{n}", res,
                 x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
                 nnz=5 * n * n - 4 * n,
                 extra={"matvecs": 2 * int(res.iterations)},
@@ -565,7 +578,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("bicgstab", cmd_bicgstab, grids="300:1000:50", tol=1e-9,
         max_iterations=10_000)
     add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
-        tol=1e-9, max_iterations=10_000, precond="none")
+        tol=1e-9, max_iterations=10_000, precond="none",
+        solver="bicgstab")
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

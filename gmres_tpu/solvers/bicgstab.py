@@ -135,6 +135,24 @@ def bicgstab(
     (i, x, r, p, _), status, history = jax.lax.while_loop(cond, body, carry)
     res = jnp.where(i > 0, history[jnp.maximum(i - 1, 0)],
                     jnp.sqrt(rr0_init))
+    # CERTIFY on the true residual (one extra matvec): BiCGSTAB's
+    # RECURSIVE r can drift arbitrarily far from b − Ax — observed on
+    # the 1024² convection-diffusion benchmark, where the recurrence
+    # reported 2.4e-14 while the true residual sat at ~1e-4 (the
+    # classic attainable-accuracy breakdown: rounding in the recursive
+    # update accumulates with the size of intermediate quantities).
+    # The reference trusts the lying recurrence (bicgstab.f90:40);
+    # reporting CONVERGED there would be a silent wrong answer, so a
+    # CONVERGED claim that fails re-verification is downgraded to
+    # BREAKDOWN and the TRUE norm is reported.
+    r_true = tree_sub(b, A(x))
+    true_res = jnp.sqrt(tree_vdot(r_true, r_true))
+    status = jnp.where(
+        (status == SolverStatus.CONVERGED) & (true_res >= tol),
+        jnp.int32(SolverStatus.BREAKDOWN),
+        status,
+    )
+    res = jnp.where(i > 0, true_res, res)
     # Pad past convergence with the final residual (documented contract).
     history = jnp.where(jnp.arange(max_iterations) < i, history, res)
     return SolveResult(

@@ -83,3 +83,22 @@ def test_pbicgstab_matches_golden():
     np.testing.assert_allclose(
         np.asarray(res.residual_history[:it]), hist, rtol=1e-4, atol=1e-12
     )
+
+
+def test_final_residual_is_certified_true_norm():
+    """The reported residual is the recomputed ||b - Ax|| (one extra
+    matvec), not the recursive estimate — BiCGSTAB's recurrence can
+    drift arbitrarily far from the truth (observed: 2.4e-14 recursive
+    vs ~1e-4 true on the 1024^2 convection-diffusion system), and a
+    CONVERGED claim that fails re-verification must downgrade to
+    BREAKDOWN."""
+    import gmres_tpu as gt
+
+    n = 24
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    res = gt.bicgstab(op, b, tol=1e-9)
+    assert int(res.status) == SolverStatus.CONVERGED
+    r = b - op(res.x)
+    true_norm = float(jnp.sqrt(jnp.sum(r * r)))
+    assert abs(float(res.residual) - true_norm) <= 1e-12 + 1e-6 * true_norm
