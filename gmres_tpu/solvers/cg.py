@@ -147,6 +147,20 @@ def cg(
     (i, x, r, z, p, res, status), history = jax.lax.while_loop(
         cond_hist, body_hist, (state, history)
     )
+    # Certify on the true residual (one extra matvec) — the recursive
+    # r drifts from b − Ax at the attainable-accuracy limit (observed
+    # on BiCGSTAB at 1024²; same pattern applied to every
+    # short-recurrence solver). A CONVERGED claim that fails
+    # re-verification downgrades to BREAKDOWN; the true norm is
+    # reported.
+    r_true = tree_sub(b, A(x))
+    true_res = jnp.sqrt(tree_vdot(r_true, r_true))
+    status = jnp.where(
+        (status == SolverStatus.CONVERGED) & (true_res >= tol),
+        jnp.int32(SolverStatus.BREAKDOWN),
+        status,
+    )
+    res = jnp.where(i > 0, true_res, res)
     # Pad past convergence with the final residual (the documented
     # contract of SolveResult.residual_history).
     history = jnp.where(
@@ -253,6 +267,17 @@ def _pipelined_cg(
         cond, body, carry
     )
     res = jnp.where(i > 0, history[jnp.maximum(i - 1, 0)], res0)
+    # Same true-residual certification as classic CG (pipelined
+    # recurrences drift even sooner — that is the known cost of the
+    # Ghysels-Vanroose reformulation).
+    r_true = tree_sub(b, A(x))
+    true_res = jnp.sqrt(tree_vdot(r_true, r_true))
+    status = jnp.where(
+        (status == SolverStatus.CONVERGED) & (true_res >= tol),
+        jnp.int32(SolverStatus.BREAKDOWN),
+        status,
+    )
+    res = jnp.where(i > 0, true_res, res)
     history = jnp.where(jnp.arange(max_iterations) < i, history, res)
     return SolveResult(
         x=x,

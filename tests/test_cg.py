@@ -179,3 +179,23 @@ class TestPipelinedCG:
         op, b = self._problem(8)
         with pytest.raises(ValueError, match="variant"):
             gt.cg(op, b, variant="nope")
+
+
+def test_final_residual_is_certified_true_norm():
+    """Both CG variants report the recomputed ||b - Ax|| (one extra
+    matvec), matching bicgstab's certification — short recurrences
+    drift from the truth at the attainable-accuracy limit."""
+    import gmres_tpu as gt
+    from gmres_tpu.types import SolverStatus
+
+    n = 24
+    op = gt.poisson_operator(n)
+    b = op(jnp.ones((n, n)))
+    for variant in ("classic", "pipelined"):
+        res = gt.cg(op, b, tol=1e-9, variant=variant)
+        assert int(res.status) == SolverStatus.CONVERGED, variant
+        r = b - op(res.x)
+        true_norm = float(jnp.sqrt(jnp.sum(r * r)))
+        assert abs(float(res.residual) - true_norm) <= (
+            1e-12 + 1e-6 * true_norm
+        ), variant

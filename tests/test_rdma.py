@@ -106,6 +106,9 @@ def test_rdma_operator_drives_cg(mesh):
     b = shard_grid_vector(
         gt.poisson_apply(jnp.ones((n, n))).astype(jnp.float32), mesh
     )
-    res = gt.cg(op, b, tol=1e-5, max_iterations=500)
+    # tol within f32's attainable TRUE residual: cg now certifies
+    # ‖b − Ax‖ at exit, and at f32 the recursion can claim 1e-5 while
+    # the truth floors near ~2.5e-5 (the old tol asserted a lie).
+    res = gt.cg(op, b, tol=1e-4, max_iterations=500)
     assert bool(res.converged)
     np.testing.assert_allclose(res.x, 1.0, atol=1e-3)
