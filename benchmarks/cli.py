@@ -233,10 +233,19 @@ def cmd_convdiff(args):
     n = args.nsize
     op = gt.convection_diffusion_operator(n, args.gamma_x, args.gamma_y)
     b = op(jnp.ones((n, n)))
+    mixed = args.precision == "mixed"
     m_inv = None
     if args.precond == "mg":
+        # GMRES mixed mode casts the cycle (including M's input) to
+        # f32 itself; for the f64 BiCGSTAB loop the preconditioner
+        # carries the cast internally (internal_dtype) — either way
+        # the V-cycle smoothers run f32 and take the Pallas routes.
         m_inv = gt.convection_diffusion_multigrid_preconditioner(
-            n, args.gamma_x, args.gamma_y
+            n, args.gamma_x, args.gamma_y,
+            internal_dtype=(
+                jnp.float32 if mixed and args.solver != "gmres"
+                else None
+            ),
         )
     if args.solver == "gmres":
         # GMRES's residual comes from the projected least-squares (and
@@ -247,6 +256,7 @@ def cmd_convdiff(args):
             lambda bb: gt.gmres(
                 op, bb, restart=30, tol=args.tol, M=m_inv,
                 certify="true", compute_v_err=False,
+                inner_dtype=jnp.float32 if mixed else None,
                 max_restarts=max(args.max_iterations // 30, 1),
             )
         )
@@ -258,13 +268,24 @@ def cmd_convdiff(args):
             )
         )
     res, dt = _timed(fn, b)
+    if args.solver == "gmres":
+        # GmresResult.iterations is only the FINAL cycle's inner count;
+        # GMRES does 1 matvec per inner iteration plus 1 per restart
+        # cycle for the (certified) residual. Approximate total.
+        total_inner = (max(int(res.restarts) - 1, 0) * 30
+                       + int(res.iterations))
+        matvecs = total_inner + int(res.restarts)
+    else:
+        # 2 matvecs/iteration (+1 exit certification, + any reliable-
+        # update replacements, both excluded as setup-like costs).
+        matvecs = 2 * int(res.iterations)
     _emit(
         [
             record_from_result(
                 f"{args.solver}-convdiff-{n}x{n}", res,
                 x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
                 nnz=5 * n * n - 4 * n,
-                extra={"matvecs": 2 * int(res.iterations)},
+                extra={"matvecs": matvecs, "precision": args.precision},
             )
         ],
         args,
@@ -579,7 +600,7 @@ def build_parser() -> argparse.ArgumentParser:
         max_iterations=10_000)
     add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
         tol=1e-9, max_iterations=10_000, precond="none",
-        solver="bicgstab")
+        solver="bicgstab", precision="f64")
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

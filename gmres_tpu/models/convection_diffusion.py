@@ -32,6 +32,26 @@ def convection_diffusion_coefs(gamma_x: float, gamma_y: float):
     )
 
 
+def convection_diffusion_coefs_upwind(gamma_x: float, gamma_y: float):
+    """(center, west, east, south, north) for the FIRST-ORDER UPWIND
+    discretization of the same operator: the convection term uses the
+    one-sided difference against the flow (b·h·∂x u ≈ 2γx·(u_j − u_{j−1})
+    for γx > 0), giving an M-matrix for ANY cell-Péclet number — the
+    stable rediscretization for multigrid coarse levels where the
+    doubled γ makes central differences oscillatory (|γ| ≥ 1). First-
+    order accurate in the convection term, which is irrelevant for a
+    coarse-grid CORRECTION but would be wrong for the fine-level
+    operator itself (keep central there)."""
+    gx, gy = float(gamma_x), float(gamma_y)
+    return (
+        4.0 + 2.0 * abs(gx) + 2.0 * abs(gy),
+        -(1.0 + 2.0 * max(gx, 0.0)),
+        -(1.0 + 2.0 * max(-gx, 0.0)),
+        -(1.0 + 2.0 * max(gy, 0.0)),
+        -(1.0 + 2.0 * max(-gy, 0.0)),
+    )
+
+
 def convection_diffusion_apply(
     x: jnp.ndarray, gamma_x: float = 0.4, gamma_y: float = 0.2
 ) -> jnp.ndarray:

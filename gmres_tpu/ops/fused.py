@@ -203,6 +203,126 @@ def _chebk_kernel(order: int):
     return kernel
 
 
+def jacobi_k_scalars(omega: float, center: float, order: int):
+    """Host-side coefficients expressing an order-k DAMPED-JACOBI sweep
+    (e ← e + (ω/c₀)·(r − A·e), e₀ = (ω/c₀)·r) in the SAME (θ, per-step
+    [a, b]) form as the Chebyshev semi-iteration: the kernel recurrence
+
+        d ← a·d + b·(r − A·z) ;  z ← z + d ;  z₀ = d₀ = r/θ
+
+    reduces to damped Jacobi with θ = c₀/ω and (a, b) = (0, ω/c₀) at
+    every step. This lets the nonsymmetric multigrid smoothers (which
+    must avoid real-axis Chebyshev — it diverges on the convection
+    operator's complex spectrum, precond/multigrid.py) reuse the
+    VMEM-resident trapezoidal kernels unchanged."""
+    step = float(omega) / float(center)
+    steps = []
+    for _ in range(order - 1):
+        steps.extend([0.0, step])
+    return 1.0 / step, steps
+
+
+@functools.partial(
+    jax.jit, static_argnames=("theta", "steps", "coefs", "interpret")
+)
+def poly_stencil_smoother_pallas(
+    r: jnp.ndarray,
+    theta: float,
+    steps: tuple,
+    coefs=(4.0, -1.0, -1.0, -1.0, -1.0),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Generic order-k polynomial smoother z ≈ A⁻¹r on a 5-point
+    stencil, all sweeps VMEM-resident (whole grid in VMEM). ``steps``
+    is the flattened per-step [a₀, b₀, a₁, b₁, …] of the d-recurrence
+    above; ``jacobi_k_scalars``/``chebyshev_k_scalars`` produce it."""
+    order = len(steps) // 2 + 1
+    scal = jnp.asarray([theta, *coefs], dtype=r.dtype)
+    rho = jnp.asarray(list(steps) if steps else [0.0], dtype=r.dtype)
+    return pl.pallas_call(
+        _chebk_kernel(order),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+        scratch_shapes=[pltpu.VMEM(r.shape, r.dtype)],
+        interpret=interpret,
+    )(scal, rho, r)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("theta", "steps", "coefs", "interpret",
+                     "block_rows"),
+)
+def poly_stencil_smoother_pallas_blocked(
+    r: jnp.ndarray,
+    theta: float,
+    steps: tuple,
+    coefs=(4.0, -1.0, -1.0, -1.0, -1.0),
+    interpret: bool = False,
+    block_rows: int | None = None,
+) -> jnp.ndarray:
+    """Blocked-trapezoidal form of ``poly_stencil_smoother_pallas`` for
+    grids beyond VMEM — same tiling/halo-creep analysis as
+    ``chebyshev_k_poisson_pallas_blocked`` (the recurrence structure is
+    identical; only the coefficients differ)."""
+    if not interpret:
+        with jax.enable_x64(False):
+            return _poly_blocked_impl(r, theta, steps, coefs,
+                                      interpret, block_rows)
+    return _poly_blocked_impl(r, theta, steps, coefs, interpret,
+                              block_rows)
+
+
+def _poly_blocked_impl(r, theta, steps, coefs, interpret, block_rows):
+    order = len(steps) // 2 + 1
+    n = r.shape[0]
+    halo = 8 * (-(-(order - 1) // 8)) if order > 1 else 8
+    if block_rows is None:
+        block_rows = _chebk_auto_rows(n, halo) or halo
+    rows = min(block_rows, n)
+    if n % rows != 0:
+        raise ValueError(f"grid rows {n} not divisible by {rows}")
+    if halo > rows or rows % halo != 0:
+        raise ValueError(
+            f"order {order} needs halo {halo} ≤ and dividing "
+            f"block_rows {rows}"
+        )
+    nblocks = n // rows
+    scal = jnp.asarray([theta, *coefs], dtype=r.dtype)
+    rho = jnp.asarray(list(steps) if steps else [0.0], dtype=r.dtype)
+    ratio = rows // halo
+    last_h = n // halo - 1
+    return pl.pallas_call(
+        _chebk_blocked_kernel(order, rows, halo, nblocks),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, r.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (halo, r.shape[1]),
+                lambda i: (jnp.maximum(i * ratio - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (halo, r.shape[1]),
+                lambda i: (jnp.minimum((i + 1) * ratio, last_h), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((rows, r.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+        interpret=interpret,
+    )(scal, rho, r, r, r)
+
+
 def chebyshev_k_scalars(lam_min: float, lam_max: float, order: int):
     """Host-side precompute of the semi-iteration coefficients:
     returns (theta, delta, [ρ'ρ, 2ρ'/δ] per step)."""
@@ -335,50 +455,9 @@ def chebyshev_k_poisson_pallas_blocked(
 def _chebk_blocked_impl(
     r, order, lam_min, lam_max, coefs, interpret, block_rows
 ):
-    n = r.shape[0]
-    halo = 8 * (-(-(order - 1) // 8)) if order > 1 else 8
-    if block_rows is None:
-        block_rows = _chebk_auto_rows(n, halo) or halo
-    rows = min(block_rows, n)
-    if n % rows != 0:
-        raise ValueError(f"grid rows {n} not divisible by {rows}")
-    if halo > rows or rows % halo != 0:
-        raise ValueError(
-            f"order {order} needs halo {halo} ≤ and dividing "
-            f"block_rows {rows}"
-        )
-    nblocks = n // rows
     theta, _, steps = chebyshev_k_scalars(lam_min, lam_max, order)
-    scal = jnp.asarray([theta, *coefs], dtype=r.dtype)
-    rho = jnp.asarray(steps if steps else [0.0], dtype=r.dtype)
-    ratio = rows // halo
-    last_h = n // halo - 1
-    return pl.pallas_call(
-        _chebk_blocked_kernel(order, rows, halo, nblocks),
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((rows, r.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            # halo windows in (halo, N) block units of the same array,
-            # clamped at the grid edges (masked in-kernel)
-            pl.BlockSpec(
-                (halo, r.shape[1]),
-                lambda i: (jnp.maximum(i * ratio - 1, 0), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (halo, r.shape[1]),
-                lambda i: (jnp.minimum((i + 1) * ratio, last_h), 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec((rows, r.shape[1]), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
-        interpret=interpret,
-    )(scal, rho, r, r, r)
+    return _poly_blocked_impl(r, theta, tuple(steps), coefs,
+                              interpret, block_rows)
 
 
 def _chebk_auto_rows(n: int, halo: int) -> int | None:

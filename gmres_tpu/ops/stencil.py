@@ -205,6 +205,18 @@ def stencil_blocked_feasible(n: int) -> bool:
     return n % rows == 0 and rows % 8 == 0
 
 
+def _pallas_routable(x: jnp.ndarray) -> bool:
+    """Shared routing predicate: f32 square grid on a single-chip TPU
+    runtime with a feasible blocked tiling. Single-device only — on a
+    multi-device runtime the operand may be GSPMD-sharded and a
+    pallas_call would force it local (gather the grid onto one chip)."""
+    return (x.dtype == jnp.float32 and x.ndim == 2
+            and x.shape[0] == x.shape[1]
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and stencil_blocked_feasible(x.shape[0]))
+
+
 def stencil_5pt_routed(x: jnp.ndarray) -> jnp.ndarray:
     """Laplacian stencil routed by dtype/backend/shape: the blocked
     Pallas kernel for f32 square grids on TPU (1.7× the jnp roll form
@@ -212,16 +224,20 @@ def stencil_5pt_routed(x: jnp.ndarray) -> jnp.ndarray:
     form everywhere else (f64, CPU, sharded-unfriendly shapes). Only
     for SINGLE-DEVICE use — a pallas_call forces a sharded operand
     local."""
-    if (x.dtype == jnp.float32 and x.ndim == 2
-            and x.shape[0] == x.shape[1]
-            and jax.default_backend() == "tpu"
-            # single-chip only: on a multi-device runtime the operand
-            # may be GSPMD-sharded, and a pallas_call would force it
-            # local (gather the whole grid onto one chip)
-            and jax.device_count() == 1
-            and stencil_blocked_feasible(x.shape[0])):
+    if _pallas_routable(x):
         return stencil_5pt_pallas_blocked(x)
     return stencil_5pt_apply(x)
+
+
+def stencil_5pt_routed_general(x: jnp.ndarray, coefs) -> jnp.ndarray:
+    """General-coefficient form of ``stencil_5pt_routed`` (the blocked
+    kernel already takes arbitrary (c0, cw, ce, cs, cn) — used by the
+    convection-diffusion multigrid residuals)."""
+    if _pallas_routable(x):
+        return stencil_5pt_pallas_blocked(
+            x, jnp.asarray(coefs, dtype=x.dtype)
+        )
+    return stencil_5pt_general(x, *coefs)
 
 
 def _auto_block_rows(n: int, budget_elems: int) -> int:

@@ -97,6 +97,12 @@ def chebyshev_preconditioner(
     return m_inv
 
 
+def _whole_grid_vmem_ok(r) -> bool:
+    """Whole grid + 2 scratch buffers within a conservative VMEM cap —
+    the gate for the single-block (non-blocked) fused smoother kernels."""
+    return 3 * r.size * r.dtype.itemsize <= 8 * 2**20
+
+
 def chebyshev_stencil_preconditioner(
     lam_min: float,
     lam_max: float,
@@ -149,10 +155,7 @@ def chebyshev_stencil_preconditioner(
             # use_pallas="always")
             and jax.device_count() == 1
         )
-        # whole grid + 2 scratch buffers within a conservative VMEM cap
-        whole_ok = dtype_ok and (
-            3 * r.size * r.dtype.itemsize <= 8 * 2**20
-        )
+        whole_ok = dtype_ok and _whole_grid_vmem_ok(r)
         if whole_ok or use_pallas == "always":
             return chebyshev_k_poisson_pallas(
                 r, order, lo, hi, tuple(coefs),

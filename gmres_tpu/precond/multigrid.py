@@ -236,41 +236,78 @@ def convection_diffusion_multigrid_preconditioner(
     coarse_iters: int = 64,
     mesh=None,
     replicate_below: int | None = None,
+    central_gamma_max: float = 0.9,
+    use_pallas: str = "auto",
+    internal_dtype=None,
+    max_levels: int | None = None,
 ) -> Callable:
     """V-cycle preconditioner for the NONSYMMETRIC convection-diffusion
     stencil (models/convection_diffusion.py).
 
-    Differences from the Poisson cycle, both forced by nonsymmetry:
+    Differences from the Poisson cycle, all forced by nonsymmetry:
 
     * **Per-level operators**: the cell-Péclet numbers γ = b·h/2 DOUBLE
       with each 2× coarsening (convection scales with h, diffusion with
       h²), so every level rediscretizes with its own (γx·2ˡ, γy·2ˡ).
-      Coarsening stops before any |γ| reaches 1, where central
-      differences lose stability — the coarsest level is then solved by
-      smoothing iterations alone.
-    * **Damped-Jacobi smoothing** (e ← e + ω/4·(r − A e)): real-axis
-      Chebyshev DIVERGES on this operator's complex spectrum (measured:
-      Chebyshev-preconditioned BiCGSTAB fails at every tested order),
+    * **Upwind rediscretization on convection-dominated levels**: once
+      any |γ·2ˡ| reaches ``central_gamma_max``, central differences go
+      oscillatory (non-M-matrix) and both the smoother and the coarse
+      correction degrade — round 2 therefore STOPPED coarsening there,
+      which left e.g. the 1024² problem with a 2-level cycle whose 512²
+      "coarse solve" was 64 Jacobi sweeps: the weak preconditioner
+      behind the BiCGSTAB attainable-accuracy failure recorded in
+      ``artifacts/convdiff_tpu.jsonl`` (round 2). Coarse levels now
+      switch to the first-order upwind stencil
+      (``convection_diffusion_coefs_upwind``) — an M-matrix at ANY γ —
+      and coarsening continues to ≤16 rows as in the Poisson cycle.
+      First-order accuracy is fine for a coarse-grid *correction*; the
+      fine level (the operator actually solved) stays central.
+    * **Damped-Jacobi smoothing** (e ← e + ω/c₀·(r − A e), c₀ = the
+      level's diagonal): real-axis Chebyshev DIVERGES on this
+      operator's complex spectrum (tests/test_multigrid.py pins this),
       while damped Jacobi's contraction only needs the symmetric part
       to dominate. Still reduction-free.
+
+    TPU routing mirrors the Poisson cycle: single-device f32
+    applications take the VMEM/blocked trapezoidal Pallas kernels (the
+    damped-Jacobi sweep is the (a, b) = (0, ω/c₀) special case of the
+    same d-recurrence — ops/fused.py:jacobi_k_scalars), residuals take
+    the blocked general-coefficient stencil kernel; f64/CPU/distributed
+    stay on the jnp route.
+
+    internal_dtype: run the WHOLE cycle in this dtype (cast r on entry,
+      cast z back on exit). The standard mixed-precision play for an
+      f64 outer solver (BiCGSTAB): the preconditioner is an
+      approximation anyway, so f32 rounding inside it costs iterations
+      only if it changes the cycle's contraction — measured: none at
+      these Péclet numbers — while making every smoother Pallas-
+      routable.
 
     Measured at 128², γ=(0.4, 0.2): unpreconditioned BiCGSTAB 234
     iterations → 7 with this cycle.
     """
     from gmres_tpu.models.convection_diffusion import (
         convection_diffusion_coefs,
+        convection_diffusion_coefs_upwind,
     )
     from gmres_tpu.ops.stencil import stencil_5pt_general
 
     levels = []
     n, gx, gy = nsize, float(gamma_x), float(gamma_y)
-    while n % 2 == 0 and n > 16 and max(abs(2 * gx), abs(2 * gy)) < 1.0:
-        levels.append((n, gx, gy))
+    central = True
+    while n % 2 == 0 and n > 16 and (
+        max_levels is None or len(levels) < max_levels - 1
+    ):
+        levels.append((n, gx, gy, central))
         n, gx, gy = n // 2, 2 * gx, 2 * gy
-    levels.append((n, gx, gy))
+        if max(abs(gx), abs(gy)) >= central_gamma_max:
+            central = False
+    levels.append((n, gx, gy, central))
     n_levels = len(levels)
     coefs = [
-        convection_diffusion_coefs(g_x, g_y) for (_, g_x, g_y) in levels
+        convection_diffusion_coefs(g_x, g_y) if cen
+        else convection_diffusion_coefs_upwind(g_x, g_y)
+        for (_, g_x, g_y, cen) in levels
     ]
 
     # Coarse-level agglomeration, same design (and same GSPMD pinning
@@ -283,7 +320,7 @@ def convection_diffusion_multigrid_preconditioner(
 
         if replicate_below is None:
             replicate_below = 8 * int(mesh.devices.size)
-        for l, (sz, _, _) in enumerate(levels):
+        for l, (sz, _, _, _) in enumerate(levels):
             if sz < replicate_below:
                 replicate_from = l
                 break
@@ -295,24 +332,55 @@ def convection_diffusion_multigrid_preconditioner(
         def _pin(x):
             return x
 
+    pallas_ok = use_pallas != "never" and mesh is None
+    if pallas_ok:
+        from gmres_tpu.ops.fused import jacobi_k_scalars
+        from gmres_tpu.ops.stencil import (
+            _pallas_routable,
+            stencil_5pt_routed_general,
+        )
+        from gmres_tpu.precond.chebyshev import (
+            _whole_grid_vmem_ok,
+        )
+        from gmres_tpu.ops.fused import (
+            poly_stencil_smoother_pallas,
+            poly_stencil_smoother_pallas_blocked,
+        )
+
     def apply_l(x, l):
         if l >= replicate_from:
             return _pin(stencil_5pt_general(_pin(x), *coefs[l]))
+        if pallas_ok:
+            return stencil_5pt_routed_general(x, coefs[l])
         return stencil_5pt_general(x, *coefs[l])
 
     def smooth(r, l, iters):
         import jax
 
-        e = (omega / 4.0) * r
+        step = omega / coefs[l][0]
+        if pallas_ok and l < replicate_from and _pallas_routable(r):
+            theta, steps = jacobi_k_scalars(omega, coefs[l][0], iters)
+            if _whole_grid_vmem_ok(r):
+                return poly_stencil_smoother_pallas(
+                    r, theta, tuple(steps), coefs[l]
+                )
+            from gmres_tpu.ops.fused import chebyshev_blocked_feasible
+
+            if (r.shape[0] == r.shape[1]
+                    and chebyshev_blocked_feasible(r.shape[0], iters)):
+                return poly_stencil_smoother_pallas_blocked(
+                    r, theta, tuple(steps), coefs[l]
+                )
+        e = step * r
         if iters <= 4:  # short smoothers: unrolled fuses best
             for _ in range(iters - 1):
-                e = e + (omega / 4.0) * (r - apply_l(e, l))
+                e = e + step * (r - apply_l(e, l))
             return e
         # deep coarse solves: fori_loop, or the trace blows up
         # (CLAUDE.md rule 6)
         return jax.lax.fori_loop(
             0, iters - 1,
-            lambda _, ee: ee + (omega / 4.0) * (r - apply_l(ee, l)),
+            lambda _, ee: ee + step * (r - apply_l(ee, l)),
             e,
         )
 
@@ -327,6 +395,12 @@ def convection_diffusion_multigrid_preconditioner(
         return e + smooth(r - apply_l(e, l), l, post_smooth)
 
     def m_inv(r: jnp.ndarray) -> jnp.ndarray:
+        if internal_dtype is not None and r.dtype != internal_dtype:
+            return v_cycle(r.astype(internal_dtype), 0).astype(r.dtype)
         return v_cycle(r, 0)
 
+    m_inv.levels = n_levels
+    m_inv.level_schemes = [
+        ("central" if cen else "upwind") for (_, _, _, cen) in levels
+    ]
     return m_inv

@@ -146,8 +146,17 @@ def fgmres(
                 v_basis, t, axis=0, keepdims=False
             )
             with jax.named_scope("fgmres.precond"):
-                z_t = M(v_t) if M is not None else v_t
-            z_basis = z_basis.at[t].set(z_t.astype(work_dtype))
+                # Cast M's output to work_dtype ONCE, and use the SAME
+                # value for both the stored z_basis and op(z_t): if
+                # they differ (cast only on store), the Arnoldi
+                # relation and the solution-update basis disagree by
+                # the rounding of the cast — harmless for correctness
+                # (restarts certify the f64 true residual) but it costs
+                # restarts and runs A at f64 inside a 'mixed' cycle.
+                z_t = (M(v_t) if M is not None else v_t).astype(
+                    work_dtype
+                )
+            z_basis = z_basis.at[t].set(z_t)
             with jax.named_scope("fgmres.spmv"):
                 w = op(z_t).astype(work_dtype)
             with jax.named_scope("fgmres.orthogonalize"):

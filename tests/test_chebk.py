@@ -112,3 +112,110 @@ def test_chebk_blocked_order_too_deep_raises():
             jnp.ones((64, 64), jnp.float32), 40, 0.5, 8.0,
             interpret=True, block_rows=16,
         )
+
+
+# ---------------------------------------------------------------------------
+# Generalized polynomial smoother entry points (damped Jacobi = the
+# (a, b) = (0, ω/c₀) special case of the same d-recurrence — used by the
+# convection-diffusion multigrid smoothers).
+# ---------------------------------------------------------------------------
+
+
+def _jacobi_oracle(r, coefs, omega, iters):
+    from gmres_tpu.ops.stencil import stencil_5pt_general
+
+    step = omega / coefs[0]
+    e = step * r
+    for _ in range(iters - 1):
+        e = e + step * (r - stencil_5pt_general(e, *coefs))
+    return e
+
+
+@pytest.mark.parametrize("iters", [1, 3, 8])
+def test_poly_smoother_jacobi_matches_oracle(iters):
+    from gmres_tpu.models.convection_diffusion import (
+        convection_diffusion_coefs,
+        convection_diffusion_coefs_upwind,
+    )
+    from gmres_tpu.ops.fused import (
+        jacobi_k_scalars,
+        poly_stencil_smoother_pallas,
+    )
+
+    n = 32
+    r = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n, n)).astype(np.float32)
+    )
+    for coefs in (convection_diffusion_coefs(0.4, 0.2),
+                  convection_diffusion_coefs_upwind(1.6, 0.8)):
+        theta, steps = jacobi_k_scalars(0.7, coefs[0], iters)
+        z = poly_stencil_smoother_pallas(
+            r, theta, tuple(steps), coefs, interpret=True
+        )
+        z_ref = _jacobi_oracle(r.astype(jnp.float64),
+                               coefs, 0.7, iters)
+        rel = float(jnp.max(jnp.abs(z - z_ref))
+                    / jnp.max(jnp.abs(z_ref)))
+        assert rel < 5e-5, (coefs, rel)
+
+
+@pytest.mark.parametrize("iters,block_rows", [(3, 16), (8, 8)])
+def test_poly_smoother_blocked_matches_oracle(iters, block_rows):
+    from gmres_tpu.models.convection_diffusion import (
+        convection_diffusion_coefs,
+    )
+    from gmres_tpu.ops.fused import (
+        jacobi_k_scalars,
+        poly_stencil_smoother_pallas_blocked,
+    )
+
+    n = 64
+    r = jnp.asarray(
+        np.random.default_rng(2).standard_normal((n, n)).astype(np.float32)
+    )
+    coefs = convection_diffusion_coefs(0.4, 0.2)
+    theta, steps = jacobi_k_scalars(0.7, coefs[0], iters)
+    z = poly_stencil_smoother_pallas_blocked(
+        r, theta, tuple(steps), coefs, interpret=True,
+        block_rows=block_rows,
+    )
+    z_ref = _jacobi_oracle(r.astype(jnp.float64), coefs, 0.7, iters)
+    rel = float(jnp.max(jnp.abs(z - z_ref)) / jnp.max(jnp.abs(z_ref)))
+    assert rel < 5e-5, rel
+
+
+def test_poly_smoother_chebyshev_equivalence():
+    """chebyshev_k_poisson_pallas is the poly smoother with the
+    Chebyshev coefficient schedule — same kernel, same numbers."""
+    from gmres_tpu.ops.fused import poly_stencil_smoother_pallas
+
+    n = 32
+    r = jnp.asarray(
+        np.random.default_rng(3).standard_normal((n, n)).astype(np.float32)
+    )
+    theta, _, steps = chebyshev_k_scalars(0.005, 8.0, 8)
+    z_poly = poly_stencil_smoother_pallas(
+        r, theta, tuple(steps), interpret=True
+    )
+    z_cheb = chebyshev_k_poisson_pallas(r, 8, 0.005, 8.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(z_poly), np.asarray(z_cheb))
+
+
+def test_routed_general_stencil_cpu_falls_back():
+    from gmres_tpu.models.convection_diffusion import (
+        convection_diffusion_coefs,
+    )
+    from gmres_tpu.ops.stencil import (
+        stencil_5pt_general,
+        stencil_5pt_routed_general,
+    )
+
+    n = 16
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((n, n))
+    )
+    coefs = convection_diffusion_coefs(0.4, 0.2)
+    np.testing.assert_array_equal(
+        np.asarray(stencil_5pt_routed_general(x, coefs)),
+        np.asarray(stencil_5pt_general(x, *coefs)),
+    )

@@ -167,8 +167,8 @@ def test_replicated_coarse_parity_and_cost():
 def test_mg_fine_equiv_sweeps_attribute():
     """The static work count used by bench.py's nnz/s derivation:
     exact value for the default 300-grid configuration
-    (pre=post=3 → 2 applies each, +2 residuals, coarse order 32 → 31
-    applies at 1/16 weight: 8·(1+1/4) + 31/16 = 9.4375)."""
+    (pre=post=3 → 2 applies each, +2 residuals = 6 per level, coarse
+    order 32 → 31 applies at 1/16 weight: 6·(1+1/4) + 31/16 = 9.4375)."""
     m = poisson_multigrid_preconditioner(300)
     assert m.levels == 3
     assert abs(m.fine_equiv_sweeps - 9.4375) < 1e-12
@@ -232,15 +232,93 @@ class TestConvDiffMG:
         )(shard_grid_vector(b, mesh))
         assert int(r_p.iterations) == int(r_r.iterations)
 
-    def test_high_peclet_coarsening_stops(self):
+    def test_high_peclet_upwind_coarsening_continues(self):
+        """Convection-dominated levels rediscretize UPWIND instead of
+        stopping the hierarchy (round 2 stopped at |2γ| ≥ 1, leaving a
+        2-level cycle whose weak coarse solve caused the 1024²
+        BiCGSTAB attainable-accuracy failure in convdiff_tpu.jsonl)."""
         from gmres_tpu.precond.multigrid import (
             convection_diffusion_multigrid_preconditioner,
         )
 
         n = 64
-        op, b = self._problem(n, gx=0.8, gy=0.5)  # 2*gamma >= 1: no coarsening
+        op, b = self._problem(n, gx=0.8, gy=0.5)
         m_inv = convection_diffusion_multigrid_preconditioner(
             n, gamma_x=0.8, gamma_y=0.5
         )
+        # fine level central; every level after the first γ-doubling
+        # (|γ| ≥ 0.9) is upwind; the hierarchy reaches the 16-row floor
+        assert m_inv.levels == 3
+        assert m_inv.level_schemes == ["central", "upwind", "upwind"]
         res = gt.bicgstab(op, b, tol=1e-9, max_iterations=1000, M=m_inv)
         assert bool(res.converged)
+
+    def test_upwind_coefs_m_matrix(self):
+        """Upwind rediscretization is an M-matrix at ANY cell Péclet:
+        positive diagonal, non-positive off-diagonals, zero row sums —
+        and reduces to the central stencil at γ = 0."""
+        from gmres_tpu.models.convection_diffusion import (
+            convection_diffusion_coefs,
+            convection_diffusion_coefs_upwind,
+        )
+
+        for gx, gy in [(0.0, 0.0), (0.4, 0.2), (3.2, 1.6),
+                       (-2.0, 0.5), (12.8, -6.4)]:
+            c = convection_diffusion_coefs_upwind(gx, gy)
+            assert c[0] > 0
+            assert all(cc <= 0 for cc in c[1:])
+            assert abs(sum(c)) < 1e-12, c
+        assert convection_diffusion_coefs_upwind(0.0, 0.0) == \
+            convection_diffusion_coefs(0.0, 0.0)
+
+    def test_deep_cycle_fixes_512_drift(self):
+        """Regression for the round-2 artifact: at 512² the 2-level
+        cycle left BiCGSTAB with l2_error 2.8e-5 against the
+        manufactured solution despite a converged recurrence
+        (attainable-accuracy drift). The deep upwind hierarchy keeps
+        the preconditioned system well-conditioned enough that the
+        certified TRUE residual meets tol. 256² here for test time;
+        the 512²/1024² rows are re-recorded in convdiff_tpu.jsonl."""
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        n = 256
+        op, b = self._problem(n)
+        m_inv = convection_diffusion_multigrid_preconditioner(n)
+        assert m_inv.levels == 5
+        res = jax.jit(
+            lambda bb: gt.bicgstab(op, bb, tol=1e-9,
+                                   max_iterations=200, M=m_inv)
+        )(b)
+        assert bool(res.converged)
+        # res.residual is the CERTIFIED true residual (solvers/bicgstab.py)
+        assert float(res.residual) < 1e-9
+        np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-7)
+
+    def test_internal_dtype_f32_cycle(self):
+        """internal_dtype=float32 runs the cycle in f32 inside an f64
+        solve: still converges to the f64 tolerance (the preconditioner
+        is an approximation; precision inside it only affects the
+        contraction), output dtype matches the input."""
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        n = 64
+        op, b = self._problem(n)
+        mi_64 = convection_diffusion_multigrid_preconditioner(n)
+        mi_32 = convection_diffusion_multigrid_preconditioner(
+            n, internal_dtype=jnp.float32
+        )
+        z = mi_32(b)
+        assert z.dtype == b.dtype
+        np.testing.assert_allclose(
+            np.asarray(z), np.asarray(mi_64(b)), rtol=1e-4, atol=1e-4
+        )
+        r64 = gt.bicgstab(op, b, tol=1e-9, max_iterations=200, M=mi_64)
+        r32 = gt.bicgstab(op, b, tol=1e-9, max_iterations=200, M=mi_32)
+        assert bool(r32.converged)
+        assert float(r32.residual) < 1e-9
+        # f32 rounding inside M costs at most a few extra iterations
+        assert int(r32.iterations) <= int(r64.iterations) + 5
