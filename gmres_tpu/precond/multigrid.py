@@ -264,9 +264,16 @@ def convection_diffusion_multigrid_preconditioner(
       fine level (the operator actually solved) stays central.
     * **Damped-Jacobi smoothing** (e ← e + ω/c₀·(r − A e), c₀ = the
       level's diagonal): real-axis Chebyshev DIVERGES on this
-      operator's complex spectrum (tests/test_multigrid.py pins this),
+      operator's complex spectrum once |γ| ≈ 2 (measured ρ(I−SA) =
+      1.2–2.3 at γ = (2, 1) on both candidate bands;
+      tests/test_multigrid.py::TestNonsymmetricSmoothing pins it),
       while damped Jacobi's contraction only needs the symmetric part
-      to dominate. Still reduction-free.
+      to dominate. Still reduction-free. ``omega="auto"``
+      Arnoldi-estimates each level's spectrum and picks the ω
+      minimizing the high-frequency contraction bound
+      (solvers/lanczos.py:estimate_jacobi_omega) — the C10 estimation
+      capability extended beyond SPD; the numeric default 0.7 skips
+      the setup matvecs.
 
     TPU routing mirrors the Poisson cycle: single-device f32
     applications take the VMEM/blocked trapezoidal Pallas kernels (the
@@ -309,6 +316,33 @@ def convection_diffusion_multigrid_preconditioner(
         else convection_diffusion_coefs_upwind(g_x, g_y)
         for (_, g_x, g_y, cen) in levels
     ]
+
+    if omega == "auto":
+        # Per-level damping from the Arnoldi-estimated spectrum
+        # (solvers/lanczos.py:estimate_jacobi_omega) instead of the
+        # hand-tuned constant. The stencil symbol's upper (smoothing)
+        # spectrum is grid-size independent, so each level is probed on
+        # a ≤64² surrogate grid with the level's own coefficients — a
+        # handful of setup-time matvecs, once per preconditioner build.
+        import jax as _jax
+
+        from gmres_tpu.solvers.lanczos import estimate_jacobi_omega
+
+        _pdtype = (jnp.float64 if _jax.config.jax_enable_x64
+                   else jnp.float32)
+        omegas = []
+        for (sz, _, _, _), cf in zip(levels, coefs):
+            m_ = min(sz, 64)
+            probe = _jax.random.normal(
+                _jax.random.PRNGKey(0), (m_, m_), dtype=_pdtype
+            )
+            w_l, _ = estimate_jacobi_omega(
+                lambda x, cf=cf: stencil_5pt_general(x, *cf),
+                probe, cf[0], steps=16,
+            )
+            omegas.append(w_l)
+    else:
+        omegas = [float(omega)] * n_levels
 
     # Coarse-level agglomeration, same design (and same GSPMD pinning
     # lesson) as the Poisson cycle above: pin the OPERATOR at
@@ -357,9 +391,11 @@ def convection_diffusion_multigrid_preconditioner(
     def smooth(r, l, iters):
         import jax
 
-        step = omega / coefs[l][0]
+        step = omegas[l] / coefs[l][0]
         if pallas_ok and l < replicate_from and _pallas_routable(r):
-            theta, steps = jacobi_k_scalars(omega, coefs[l][0], iters)
+            theta, steps = jacobi_k_scalars(
+                omegas[l], coefs[l][0], iters
+            )
             if _whole_grid_vmem_ok(r):
                 return poly_stencil_smoother_pallas(
                     r, theta, tuple(steps), coefs[l]
@@ -403,4 +439,5 @@ def convection_diffusion_multigrid_preconditioner(
     m_inv.level_schemes = [
         ("central" if cen else "upwind") for (_, _, _, cen) in levels
     ]
+    m_inv.omegas = omegas
     return m_inv

@@ -322,3 +322,155 @@ class TestConvDiffMG:
         assert float(r32.residual) < 1e-9
         # f32 rounding inside M costs at most a few extra iterations
         assert int(r32.iterations) <= int(r64.iterations) + 5
+
+
+class TestNonsymmetricSmoothing:
+    """Pins the measured smoother-stability facts the convdiff cycle's
+    design rests on (precond/multigrid.py docstring): error-propagation
+    spectral radius ρ(I − S·A) on the dense 32² assembly."""
+
+    n = 32
+
+    def _smoother_matrix(self, m_inv):
+        n = self.n
+        op = lambda v: m_inv(v.reshape(n, n)).reshape(-1)  # noqa: E731
+        return np.asarray(
+            jax.vmap(op, in_axes=1, out_axes=1)(jnp.eye(n * n))
+        )
+
+    def _rho(self, m_inv, gx, gy):
+        from gmres_tpu.models.convection_diffusion import (
+            convection_diffusion_matrix,
+        )
+
+        a = np.asarray(convection_diffusion_matrix(self.n, gx, gy))
+        g = np.eye(self.n ** 2) - self._smoother_matrix(m_inv) @ a
+        return float(np.abs(np.linalg.eigvals(g)).max())
+
+    def _jacobi(self, coefs, omega=0.7, steps=3):
+        from gmres_tpu.ops.stencil import stencil_5pt_general
+
+        def m_inv(r):
+            e = (omega / coefs[0]) * r
+            for _ in range(steps - 1):
+                e = e + (omega / coefs[0]) * (
+                    r - stencil_5pt_general(e, *coefs)
+                )
+            return e
+
+        return m_inv
+
+    def test_chebyshev_diverges_jacobi_converges_at_doubled_peclet(self):
+        """γ = (2.0, 1.0) — the γ-doubled spectrum of a (1.0, 0.5)
+        level: real-axis Chebyshev smoothing DIVERGES on the complex
+        spectrum on BOTH candidate bands (measured ρ = 1.22 on [2, 8],
+        2.31 on [1, 8]) while damped Jacobi contracts at 0.53. The
+        reason the convdiff cycle smooths with damped Jacobi, not the
+        Poisson cycle's Chebyshev."""
+        from gmres_tpu.models.convection_diffusion import (
+            convection_diffusion_coefs,
+        )
+        from gmres_tpu.ops.stencil import stencil_5pt_general
+        from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+
+        gx, gy = 2.0, 1.0
+        cf = convection_diffusion_coefs(gx, gy)
+        op = lambda x: stencil_5pt_general(x, *cf)  # noqa: E731
+        for lo in (1.0, 2.0):
+            cheb = chebyshev_preconditioner(op, lo, 8.0, order=3,
+                                            reference_form=False)
+            assert self._rho(cheb, gx, gy) > 1.0, lo
+        assert self._rho(self._jacobi(cf), gx, gy) < 0.6
+
+    def test_upwind_rescues_jacobi_beyond_peclet_one(self):
+        """γ = (3.2, 1.6): CENTRAL differences are no M-matrix and even
+        damped Jacobi diverges (ρ = 3.5 measured) — coarsening must
+        rediscretize. With the UPWIND stencil at the same γ the
+        smoother contracts again; this is the measurement behind
+        convection_diffusion_coefs_upwind."""
+        from gmres_tpu.models.convection_diffusion import (
+            convection_diffusion_coefs,
+            convection_diffusion_coefs_upwind,
+        )
+        from gmres_tpu.models.convection_diffusion import (
+            convection_diffusion_matrix,
+        )
+
+        gx, gy = 3.2, 1.6
+        cf_c = convection_diffusion_coefs(gx, gy)
+        assert self._rho(self._jacobi(cf_c), gx, gy) > 1.0
+        # upwind: ρ(I − S·A_upwind) with A the UPWIND assembly (the
+        # smoother and the level operator are the same discretization)
+        cf_u = convection_diffusion_coefs_upwind(gx, gy)
+        c0, cw, ce, cs, cn = cf_u
+        n = self.n
+        eye = np.eye(n)
+        kx = (c0 / 2.0 * np.eye(n) + cw * np.eye(n, k=-1)
+              + ce * np.eye(n, k=1))
+        ky = (c0 / 2.0 * np.eye(n) + cs * np.eye(n, k=-1)
+              + cn * np.eye(n, k=1))
+        a_up = np.kron(eye, kx) + np.kron(ky, eye)
+        s = self._smoother_matrix(self._jacobi(cf_u))
+        g = np.eye(n * n) - s @ a_up
+        assert float(np.abs(np.linalg.eigvals(g)).max()) < 1.0
+
+    def test_auto_omega_estimation(self):
+        """omega='auto' Arnoldi-estimates per-level damping
+        (solvers/lanczos.py:estimate_jacobi_omega): sane values, and
+        the preconditioned solve is at least as good as the hand-tuned
+        default."""
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        n = 128
+        op = gt.convection_diffusion_operator(n, 0.4, 0.2)
+        b = op(jnp.ones((n, n)))
+        m_auto = convection_diffusion_multigrid_preconditioner(
+            n, 0.4, 0.2, omega="auto"
+        )
+        assert all(0.3 <= w <= 1.2 for w in m_auto.omegas)
+        m_hand = convection_diffusion_multigrid_preconditioner(n, 0.4, 0.2)
+        r_auto = gt.bicgstab(op, b, tol=1e-9, max_iterations=200,
+                             M=m_auto)
+        r_hand = gt.bicgstab(op, b, tol=1e-9, max_iterations=200,
+                             M=m_hand)
+        assert bool(r_auto.converged)
+        assert int(r_auto.iterations) <= int(r_hand.iterations) + 2
+
+
+class TestArnoldiEstimation:
+    def test_ritz_values_poisson_match_eigh(self):
+        """On the SYMMETRIC Poisson operator the Arnoldi Ritz values
+        are real and the extremes agree with Lanczos."""
+        from gmres_tpu.solvers.lanczos import (
+            arnoldi_ritz_values,
+            lanczos_bounds,
+        )
+
+        n = 32
+        op = gt.poisson_operator(n)
+        probe = jax.random.normal(jax.random.PRNGKey(0), (n, n),
+                                  dtype=jnp.float64)
+        ritz = arnoldi_ritz_values(op, probe, steps=20)
+        assert float(np.abs(ritz.imag).max()) < 1e-8
+        # lanczos_bounds widens hi by the Ritz-pair residual; compare
+        # against the raw extremes within that widening's scale
+        lo, hi = lanczos_bounds(op, probe, steps=20, rigorous=False)
+        np.testing.assert_allclose(ritz.real.max(), float(hi),
+                                   rtol=2e-2)
+        np.testing.assert_allclose(ritz.real.min(), float(lo),
+                                   rtol=2e-2)
+
+    def test_ritz_values_convdiff_complex(self):
+        """Convection adds the ±2γ·sin band: nonzero imaginary parts,
+        real parts inside the diffusion range (0, 8)."""
+        from gmres_tpu.solvers.lanczos import arnoldi_ritz_values
+
+        n = 64
+        op = gt.convection_diffusion_operator(n, 0.4, 0.2)
+        probe = jax.random.normal(jax.random.PRNGKey(0), (n, n),
+                                  dtype=jnp.float64)
+        ritz = arnoldi_ritz_values(op, probe, steps=16)
+        assert float(np.abs(ritz.imag).max()) > 0.05
+        assert 0.0 < ritz.real.min() and ritz.real.max() < 8.0
