@@ -242,6 +242,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument(
+        "--big-nsize", type=int, default=2048,
+        help="compute-dominated companion grid (mg config) reported in "
+        "the same JSON line under 'secondary'; 0 disables. Skipped on "
+        "cpu fallback (f64 CPU solves would dominate the bench run).",
+    )
+    ap.add_argument(
         "--require-tpu", action="store_true",
         help="exit nonzero instead of degrading to CPU when the "
         "accelerator is unreachable (prevents a CPU-fallback run from "
@@ -310,46 +316,54 @@ def main():
     b = op(jnp.ones((nsize, nsize), dtype=jnp.float64))
 
     inner_dtype = jnp.float32 if args.precision == "mixed" else None
-    solve = jax.jit(
-        lambda bb: gt.gmres(
-            op, bb, restart=m, tol=tol, M=m_inv,
-            variant="householder", compute_v_err=False,
-            inner_dtype=inner_dtype,
-            # Stop on the TRUE unpreconditioned relative residual — the
-            # metric itself (with a deep M the preconditioned norm can
-            # sit on either side of it).
-            certify="true",
+
+    def measure_solve(nsize, op, m_inv, m, cheb_apps):
+        """Compile, warm, time (min of repeats), derive nnz/s and the
+        f64 TRUE relative residual for one GMRES-IR configuration."""
+        b = op(jnp.ones((nsize, nsize), dtype=jnp.float64))
+        solve = jax.jit(
+            lambda bb: gt.gmres(
+                op, bb, restart=m, tol=tol, M=m_inv,
+                variant="householder", compute_v_err=False,
+                inner_dtype=inner_dtype,
+                # Stop on the TRUE unpreconditioned relative residual —
+                # the metric itself (with a deep M the preconditioned
+                # norm can sit on either side of it).
+                certify="true",
+            )
         )
-    )
-    # Sync via a scalar that depends on the whole computation:
-    # block_until_ready does not actually block on the axon tunnel, and
-    # transferring the full solution would measure tunnel bandwidth.
-    res = solve(b)
-    float(res.residual)  # compile + warm
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
+        # Sync via a scalar that depends on the whole computation:
+        # block_until_ready does not actually block on the axon tunnel,
+        # and transferring the full solution would measure tunnel
+        # bandwidth.
         res = solve(b)
-        float(res.residual)
-        times.append(time.perf_counter() - t0)
-    t_ours = min(times)
+        float(res.residual)  # compile + warm
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            res = solve(b)
+            float(res.residual)
+            times.append(time.perf_counter() - t0)
+        t_ours = min(times)
 
-    restarts = int(res.restarts)
-    total_inner = (restarts - 1) * m + int(res.iterations)
-    # Per inner iteration: 1 stencil for A + cheb_apps inside M; per
-    # restart setup the same once more.
-    stencil_apps = (1 + cheb_apps) * (total_inner + restarts)
-    nnz = 5 * nsize * nsize - 4 * nsize
-    nnz_per_s = stencil_apps * nnz / t_ours
+        restarts = int(res.restarts)
+        total_inner = (restarts - 1) * m + int(res.iterations)
+        # Per inner iteration: 1 stencil for A + cheb_apps inside M;
+        # per restart setup the same once more.
+        stencil_apps = (1 + cheb_apps) * (total_inner + restarts)
+        nnz = 5 * nsize * nsize - 4 * nsize
+        nnz_per_s = stencil_apps * nnz / t_ours
+        # The metric is time to a TRUE UNPRECONDITIONED relative
+        # residual <= tol — verify it.
+        true_rel = float(
+            jnp.sqrt(jnp.sum((b - op(res.x)) ** 2))
+            / jnp.sqrt(jnp.sum(b * b))
+        )
+        return t_ours, res, total_inner, restarts, nnz_per_s, true_rel
+
+    (t_ours, res, total_inner, restarts, nnz_per_s,
+     true_rel) = measure_solve(nsize, op, m_inv, m, cheb_apps)
     platform = jax.devices()[0].platform
-
-    # The metric is time to a TRUE UNPRECONDITIONED relative residual
-    # <= tol — verify it (the solver certifies the preconditioned
-    # residual; with a deep polynomial M those norms differ).
-    true_rel = float(
-        jnp.sqrt(jnp.sum((b - op(res.x)) ** 2))
-        / jnp.sqrt(jnp.sum(b * b))
-    )
 
     if args.skip_baseline:
         t_base = float("nan")
@@ -399,6 +413,40 @@ def main():
         file=sys.stderr,
     )
 
+    # Compute-dominated companion size: the 90k headline sits at the
+    # tunnel's ~30 ms dispatch floor (docs/DESIGN.md §0), so it cannot
+    # distinguish configs or regressions — the 2048² (4.19M-var) mg
+    # solve is device-time-dominated and carries the real per-chip
+    # signal (cross-check: artifacts/scale_tpu.jsonl).
+    secondary = None
+    if args.big_nsize and platform != "cpu":
+        big_n = args.big_nsize
+        big_minv = gt.poisson_multigrid_preconditioner(big_n)
+        (t_big, res_big, inner_big, restarts_big, nnzs_big,
+         rel_big) = measure_solve(
+            big_n, gt.poisson_operator(big_n), big_minv, args.m or 10,
+            big_minv.fine_equiv_sweeps,
+        )
+        bv = big_n * big_n
+        secondary = {
+            "metric": (
+                f"time_to_rel_residual_{args.tol:g}_gmres_hh_mg"
+                f"_poisson_{bv // 1000}k"
+            ),
+            "value": round(t_big, 4),
+            "unit": "s",
+            "nnz_per_s": round(nnzs_big, 1),
+            "inner_iterations": inner_big,
+            "restarts": restarts_big,
+            "true_rel_residual": rel_big,
+            "converged": bool(res_big.status == 0) and rel_big <= args.tol,
+        }
+        print(
+            f"# secondary ({big_n}^2): {t_big:.3f}s, "
+            f"{inner_big} inner iters, true_rel={rel_big:.2e}",
+            file=sys.stderr,
+        )
+
     nvars = nsize * nsize
     nvars_label = f"{nvars // 1000}k" if nvars % 1000 == 0 else str(nvars)
     print(json.dumps({
@@ -423,6 +471,7 @@ def main():
         "true_rel_residual": true_rel,
         "converged": bool(res.status == 0) and true_rel <= args.tol,
         "baseline": base_kind + " (no published reference numbers; gfortran unavailable)",
+        "secondary": secondary,
     }))
 
 
