@@ -23,6 +23,10 @@ from benchmarks.cli import main
         ["cg", "--grids", "16:24:8", "--tol", "1e-8"],
         ["bicgstab", "--grids", "16:16:8", "--tol", "1e-8"],
         ["convdiff", "--nsize", "16", "--tol", "1e-8"],
+        ["convdiff", "--nsize", "16", "--tol", "1e-8", "--precond",
+         "mg", "--precision", "mixed"],
+        ["convdiff", "--nsize", "16", "--tol", "1e-8", "--precond",
+         "mg", "--solver", "gmres", "--precision", "mixed"],
         ["strong-scaling", "--nsize", "16", "--restart", "10",
          "--tol", "1e-8", "--max-devices", "4", "--max-restarts", "200"],
         ["strong-scaling", "--nsize", "16", "--restart", "10",
@@ -32,7 +36,14 @@ from benchmarks.cli import main
          "--tol", "1e-8", "--max-devices", "2", "--max-restarts", "200"],
         ["restart-sweep", "--nsize", "16", "--start", "5", "--step", "5",
          "--ntests", "2", "--tol", "1e-8"],
+        ["restart-sweep", "--nsize", "16", "--start", "5", "--step", "5",
+         "--ntests", "2", "--tol", "1e-8", "--cycle-reps", "2",
+         "--repeats", "2"],
+        ["weak-scaling", "--nsize-per-device", "8", "--restart", "10",
+         "--tol", "1e-8", "--max-devices", "2", "--max-restarts", "200",
+         "--precond", "chebyshev"],
         ["spmv", "--nsize", "32", "--reps", "2"],
+        ["roofline", "--grids", "32", "--reps", "2"],
         ["scale", "--grids", "16,32", "--restart", "8", "--tol", "1e-8"],
     ],
 )
