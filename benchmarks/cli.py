@@ -242,6 +242,7 @@ def cmd_convdiff(args):
         # the V-cycle smoothers run f32 and take the Pallas routes.
         m_inv = gt.convection_diffusion_multigrid_preconditioner(
             n, args.gamma_x, args.gamma_y,
+            smoother=args.smoother,
             internal_dtype=(
                 jnp.float32 if mixed and args.solver != "gmres"
                 else None
@@ -764,7 +765,7 @@ def build_parser() -> argparse.ArgumentParser:
         max_iterations=10_000)
     add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
         tol=1e-9, max_iterations=10_000, precond="none",
-        solver="bicgstab", precision="f64")
+        solver="bicgstab", precision="f64", smoother="jacobi")
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

@@ -240,6 +240,7 @@ def convection_diffusion_multigrid_preconditioner(
     use_pallas: str = "auto",
     internal_dtype=None,
     max_levels: int | None = None,
+    smoother: str = "jacobi",
 ) -> Callable:
     """V-cycle preconditioner for the NONSYMMETRIC convection-diffusion
     stencil (models/convection_diffusion.py).
@@ -317,32 +318,84 @@ def convection_diffusion_multigrid_preconditioner(
         for (_, g_x, g_y, cen) in levels
     ]
 
-    if omega == "auto":
-        # Per-level damping from the Arnoldi-estimated spectrum
-        # (solvers/lanczos.py:estimate_jacobi_omega) instead of the
-        # hand-tuned constant. The stencil symbol's upper (smoothing)
-        # spectrum is grid-size independent, so each level is probed on
-        # a ≤64² surrogate grid with the level's own coefficients — a
-        # handful of setup-time matvecs, once per preconditioner build.
+    if smoother not in ("jacobi", "chebyshev", "auto"):
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    def _level_ritz():
+        # Arnoldi spectrum per level on a ≤64² surrogate grid (the
+        # stencil symbol's spectrum is essentially grid-size
+        # independent above ~32 rows; the coarsest level's surrogate
+        # IS its own size) — a handful of setup-time matvecs, once per
+        # preconditioner build.
         import jax as _jax
 
-        from gmres_tpu.solvers.lanczos import estimate_jacobi_omega
+        from gmres_tpu.solvers.lanczos import arnoldi_ritz_values
 
         _pdtype = (jnp.float64 if _jax.config.jax_enable_x64
                    else jnp.float32)
-        omegas = []
+        out = []
         for (sz, _, _, _), cf in zip(levels, coefs):
             m_ = min(sz, 64)
             probe = _jax.random.normal(
                 _jax.random.PRNGKey(0), (m_, m_), dtype=_pdtype
             )
-            w_l, _ = estimate_jacobi_omega(
+            out.append(arnoldi_ritz_values(
                 lambda x, cf=cf: stencil_5pt_general(x, *cf),
-                probe, cf[0], steps=16,
-            )
-            omegas.append(w_l)
+                probe, steps=16,
+            ))
+        return out
+
+    ritz_list = None
+    if omega == "auto" or smoother in ("chebyshev", "auto"):
+        ritz_list = _level_ritz()
+
+    if omega == "auto":
+        # Per-level damping from the Arnoldi-estimated spectrum
+        # (solvers/lanczos.py:estimate_jacobi_omega) instead of the
+        # hand-tuned constant.
+        import numpy as _np
+
+        omegas = []
+        for ritz, cf in zip(ritz_list, coefs):
+            re_max = float(_np.max(ritz.real))
+            upper = ritz[ritz.real >= re_max / 4.0]
+            if upper.size == 0:
+                omegas.append(0.7)
+                continue
+            grid = _np.linspace(0.05, 1.5, 146)
+            rho = _np.abs(
+                1.0 - _np.outer(grid, upper / cf[0])
+            ).max(axis=1)
+            omegas.append(float(grid[int(_np.argmin(rho))]))
     else:
         omegas = [float(omega)] * n_levels
+
+    # Ellipse-Chebyshev smoothing intervals (Manteuffel): per level,
+    # the real-foci interval equivalent to the smallest enclosing
+    # wider-than-tall ellipse of the high-frequency Ritz values; None
+    # where no such ellipse exists (taller-than-wide spectrum region)
+    # → damped Jacobi for that level. The coarse solve gets a
+    # FULL-spectrum interval. Measured (lanczos.py docstring): beats
+    # damped Jacobi at every upwind level, 10× at high Péclet.
+    cheb_ivals = [None] * n_levels
+    coarse_ival = None
+    if smoother in ("chebyshev", "auto"):
+        from gmres_tpu.solvers.lanczos import chebyshev_ellipse_interval
+
+        cheb_ivals = [
+            chebyshev_ellipse_interval(r, band=4.0) for r in ritz_list
+        ]
+        coarse_ival = chebyshev_ellipse_interval(
+            ritz_list[-1], band=None
+        )
+        if smoother == "chebyshev" and all(
+            iv is None for iv in cheb_ivals
+        ):
+            raise ValueError(
+                "smoother='chebyshev' infeasible: every level's "
+                "high-frequency spectrum is taller than wide — use "
+                "'auto' (per-level fallback to damped Jacobi)"
+            )
 
     # Coarse-level agglomeration, same design (and same GSPMD pinning
     # lesson) as the Poisson cycle above: pin the OPERATOR at
@@ -388,9 +441,35 @@ def convection_diffusion_multigrid_preconditioner(
             return stencil_5pt_routed_general(x, coefs[l])
         return stencil_5pt_general(x, *coefs[l])
 
+    def cheb_apply(r, l, iters, iv):
+        from gmres_tpu.precond.chebyshev import (
+            chebyshev_stencil_preconditioner,
+        )
+
+        lo, hi = iv
+        if mesh is not None:
+            if l >= replicate_from:
+                op_ = lambda x: _pin(  # noqa: E731
+                    stencil_5pt_general(_pin(x), *coefs[l])
+                )
+            else:
+                op_ = lambda x: stencil_5pt_general(  # noqa: E731
+                    x, *coefs[l]
+                )
+            return chebyshev_preconditioner(
+                op_, lo, hi, order=iters, reference_form=False
+            )(r)
+        return chebyshev_stencil_preconditioner(
+            lo, hi, order=iters, coefs=coefs[l],
+            use_pallas=("auto" if pallas_ok else "never"),
+        )(r)
+
     def smooth(r, l, iters):
         import jax
 
+        iv = coarse_ival if l == n_levels - 1 else cheb_ivals[l]
+        if iv is not None:
+            return cheb_apply(r, l, iters, iv)
         step = omegas[l] / coefs[l][0]
         if pallas_ok and l < replicate_from and _pallas_routable(r):
             theta, steps = jacobi_k_scalars(
@@ -440,4 +519,13 @@ def convection_diffusion_multigrid_preconditioner(
         ("central" if cen else "upwind") for (_, _, _, cen) in levels
     ]
     m_inv.omegas = omegas
+    m_inv.smoothers = [
+        "chebyshev" if (
+            (coarse_ival if l == n_levels - 1 else cheb_ivals[l])
+            is not None
+        ) else "jacobi"
+        for l in range(n_levels)
+    ]
+    m_inv.cheb_intervals = cheb_ivals
+    m_inv.coarse_interval = coarse_ival
     return m_inv

@@ -474,3 +474,83 @@ class TestArnoldiEstimation:
         ritz = arnoldi_ritz_values(op, probe, steps=16)
         assert float(np.abs(ritz.imag).max()) > 0.05
         assert 0.0 < ritz.real.min() and ritz.real.max() < 8.0
+
+
+class TestEllipseChebyshevSmoothing:
+    def test_ellipse_interval_real_spectrum(self):
+        """b = 0 (real spectrum): the ellipse degenerates to the plain
+        high-frequency band [re_max/band, re_max] (up to safeties)."""
+        from gmres_tpu.solvers.lanczos import chebyshev_ellipse_interval
+
+        ritz = np.linspace(0.1, 8.0, 30) + 0j
+        lo, hi = chebyshev_ellipse_interval(ritz, band=4.0,
+                                            im_safety=1.0,
+                                            re_safety=1.0)
+        assert hi == pytest.approx(8.0)
+        assert lo == pytest.approx(2.0)
+
+    def test_ellipse_interval_taller_than_wide_is_none(self):
+        from gmres_tpu.solvers.lanczos import chebyshev_ellipse_interval
+
+        ritz = np.array([4 + 3j, 4 - 3j, 5 + 2.8j, 5 - 2.8j, 3.9])
+        assert chebyshev_ellipse_interval(ritz, band=4.0) is None
+
+    def test_auto_smoother_beats_jacobi(self):
+        """smoother='auto' selects ellipse-Chebyshev on every level of
+        the γ=(0.4,0.2) hierarchy (upwind keeps b/a ≤ 0.7) and costs
+        fewer-or-equal Krylov iterations than damped Jacobi."""
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        n = 128
+        op = gt.convection_diffusion_operator(n, 0.4, 0.2)
+        b = op(jnp.ones((n, n)))
+        m_c = convection_diffusion_multigrid_preconditioner(
+            n, 0.4, 0.2, smoother="auto"
+        )
+        assert all(s == "chebyshev" for s in m_c.smoothers)
+        r_c = gt.bicgstab(op, b, tol=1e-9, max_iterations=200, M=m_c)
+        m_j = convection_diffusion_multigrid_preconditioner(n, 0.4, 0.2)
+        r_j = gt.bicgstab(op, b, tol=1e-9, max_iterations=200, M=m_j)
+        assert bool(r_c.converged)
+        assert float(r_c.residual) < 1e-9
+        assert int(r_c.iterations) <= int(r_j.iterations)
+
+    def test_chebyshev_smoother_infeasible_raises(self):
+        """central-only hierarchy at γ=(2,1): every level's smoothing
+        band is taller than wide (the divergence regime pinned above) —
+        smoother='chebyshev' must refuse rather than diverge."""
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        with pytest.raises(ValueError, match="infeasible"):
+            convection_diffusion_multigrid_preconditioner(
+                64, 2.0, 1.0, central_gamma_max=100.0,
+                smoother="chebyshev",
+            )
+
+    def test_auto_smoother_sharded_parity(self):
+        from gmres_tpu.parallel.mesh import shard_grid_vector, solver_mesh
+        from gmres_tpu.precond.multigrid import (
+            convection_diffusion_multigrid_preconditioner,
+        )
+
+        mesh = solver_mesh(8)
+        n = 64
+        op = gt.convection_diffusion_operator(n, 0.4, 0.2)
+        b = op(jnp.ones((n, n)))
+        mi_p = convection_diffusion_multigrid_preconditioner(
+            n, 0.4, 0.2, smoother="auto"
+        )
+        mi_r = convection_diffusion_multigrid_preconditioner(
+            n, 0.4, 0.2, smoother="auto", mesh=mesh
+        )
+        r_p = gt.bicgstab(op, b, tol=1e-9, max_iterations=200, M=mi_p)
+        r_r = jax.jit(
+            lambda v: gt.bicgstab(op, v, tol=1e-9, max_iterations=200,
+                                  M=mi_r)
+        )(shard_grid_vector(b, mesh))
+        assert int(r_p.iterations) == int(r_r.iterations)
+        assert bool(r_r.converged)
