@@ -261,6 +261,13 @@ def cmd_convdiff(args):
                 max_restarts=max(args.max_iterations // 30, 1),
             )
         )
+    elif args.solver == "bicgstabl":
+        fn = jax.jit(
+            lambda bb: gt.bicgstabl(
+                op, bb, ell=args.ell, tol=args.tol,
+                max_iterations=args.max_iterations, M=m_inv,
+            )
+        )
     else:
         fn = jax.jit(
             lambda bb: gt.bicgstab(
@@ -276,6 +283,9 @@ def cmd_convdiff(args):
         total_inner = (max(int(res.restarts) - 1, 0) * 30
                        + int(res.iterations))
         matvecs = total_inner + int(res.restarts)
+    elif args.solver == "bicgstabl":
+        # 2ℓ matvecs per outer cycle.
+        matvecs = 2 * args.ell * int(res.iterations)
     else:
         # 2 matvecs/iteration (+1 exit certification, + any reliable-
         # update replacements, both excluded as setup-like costs).
@@ -765,7 +775,7 @@ def build_parser() -> argparse.ArgumentParser:
         max_iterations=10_000)
     add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
         tol=1e-9, max_iterations=10_000, precond="none",
-        solver="bicgstab", precision="f64", smoother="jacobi")
+        solver="bicgstab", precision="f64", smoother="jacobi", ell=2)
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

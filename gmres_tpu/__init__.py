@@ -34,6 +34,7 @@ from gmres_tpu.types import (
 )
 from gmres_tpu.solvers.cg import cg
 from gmres_tpu.solvers.bicgstab import bicgstab
+from gmres_tpu.solvers.bicgstabl import bicgstabl
 from gmres_tpu.solvers.gmres import gmres
 from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
@@ -81,6 +82,7 @@ __all__ = [
     "SolverStatus",
     "cg",
     "bicgstab",
+    "bicgstabl",
     "gmres",
     "fgmres",
     "sstep_gmres",
