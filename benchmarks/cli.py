@@ -240,11 +240,17 @@ def cmd_convdiff(args):
         # f32 itself; for the f64 BiCGSTAB loop the preconditioner
         # carries the cast internally (internal_dtype) — either way
         # the V-cycle smoothers run f32 and take the Pallas routes.
+        # EXCEPT bicgstabl: it runs its recurrence on A∘M and maps the
+        # solution through M once at exit, so M's internal precision
+        # caps the attainable accuracy (measured at 1024²: an f32
+        # cycle stalls it at ~2e-4 absolute while bicgstab converges —
+        # bicgstab's interleaved form uses M only to steer search
+        # directions). bicgstabl keeps a full-precision cycle.
         m_inv = gt.convection_diffusion_multigrid_preconditioner(
             n, args.gamma_x, args.gamma_y,
             smoother=args.smoother,
             internal_dtype=(
-                jnp.float32 if mixed and args.solver != "gmres"
+                jnp.float32 if mixed and args.solver == "bicgstab"
                 else None
             ),
         )
@@ -296,7 +302,8 @@ def cmd_convdiff(args):
                 f"{args.solver}-convdiff-{n}x{n}", res,
                 x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
                 nnz=5 * n * n - 4 * n,
-                extra={"matvecs": matvecs, "precision": args.precision},
+                extra={"matvecs": matvecs, "precision": args.precision,
+                       "smoother": args.smoother},
             )
         ],
         args,

@@ -24,6 +24,13 @@ TPU shape:
   is mapped through M once at exit — so M enters exactly 1:1 with A
   applications, matching pbicgstab's cost structure
   (bicgstab.f90:121-138) without interleaving special cases.
+  CONSEQUENCE (measured): M's internal precision bounds the attainable
+  accuracy, because its rounding is part of the operator being solved
+  — a multigrid cycle with ``internal_dtype=float32`` stalls this
+  solver at ~f32-level absolute residuals (1024² convdiff: 2e-4),
+  while plain ``bicgstab``'s interleaved form tolerates it (M there
+  only steers search directions; its residual recurrence applies the
+  exact A). Keep M at solve precision for tight tolerances.
 * Exit certification on the TRUE residual b − A x (one extra matvec),
   as everywhere in this library: a CONVERGED claim that fails
   re-verification is downgraded to BREAKDOWN.
