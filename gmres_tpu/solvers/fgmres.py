@@ -120,7 +120,12 @@ def fgmres(
     beta0 = jnp.sqrt(tree_vdot(b, b))
     inner_gain = float(jnp.finfo(work_dtype).eps) * 10.0
 
-    def cycle(x, r, beta, beta0_arg):
+    def cycle(x, r, beta, beta0_arg, rel_prev):
+        # rel_prev (the shared _restarted driver's boundary-certified
+        # residual) is unused here: FGMRES is right-preconditioned, so
+        # its Givens estimate already lives in the TRUE residual norm
+        # and needs no cross-norm projection.
+        del rel_prev
         bsafe = jnp.where(beta > 0, beta, jnp.ones_like(beta))
         v_basis = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
         v_basis = v_basis.at[0].set((r / bsafe).astype(work_dtype))

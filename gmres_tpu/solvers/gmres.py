@@ -222,8 +222,10 @@ def _restarted(
         return (k < max_restarts) & (~converged) & (~breakdown)
 
     def body(carry):
-        x, k, w, beta, _, _, _, _, _ = carry
-        x_new, n_out, ferr, h_val, basis = cycle(x, w, beta, beta0)
+        x, k, w, beta, _, _, _, _, _, rel_prev = carry
+        x_new, n_out, ferr, h_val, basis = cycle(
+            x, w, beta, beta0, rel_prev
+        )
         w_new, beta_new, rel_new = true_residual(x_new)
         if mixed or certify_true:
             converged = rel_new < tol
@@ -240,7 +242,7 @@ def _restarted(
         # silent — SURVEY §7 quirk 1).
         breakdown = breakdown | ~jnp.isfinite(beta_new)
         return (x_new, k + 1, w_new, beta_new, converged, breakdown,
-                n_out, _set_rel(ferr, n_out, rel_new), basis)
+                n_out, _set_rel(ferr, n_out, rel_new), basis, rel_new)
 
     carry0 = (
         x0,
@@ -252,10 +254,10 @@ def _restarted(
         jnp.int32(0),
         jnp.zeros((m,), dtype=dtype),
         basis_init,
+        rel_init,
     )
-    x, k, _, beta_last, converged, breakdown, n_out, ferr, basis = (
-        jax.lax.while_loop(cond, body, carry0)
-    )
+    (x, k, _, beta_last, converged, breakdown, n_out, ferr, basis,
+     _) = jax.lax.while_loop(cond, body, carry0)
     status = jnp.where(
         converged,
         jnp.int32(SolverStatus.CONVERGED),
@@ -353,7 +355,7 @@ def _gmres_mgsr(
 
         return inner_body
 
-    def cycle(x, w, beta, beta0):
+    def cycle(x, w, beta, beta0, rel_prev):
         w_work = (w / jnp.where(beta > 0, beta, 1.0)).astype(work_dtype)
         v_basis = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
         v_basis = v_basis.at[0].set(w_work)
@@ -368,10 +370,23 @@ def _gmres_mgsr(
             # estimate must not treat tol as its own floor, or cycles
             # degenerate to single iterations once the preconditioned
             # residual dips below tol while the true residual is still
-            # above it (observed: 1000 spinning restarts). Floor on
-            # per-cycle PROGRESS only: stop when the work dtype can no
-            # longer improve this cycle's correction.
-            inner_floor = (beta / beta0) * inner_gain
+            # above it (observed: 1000 spinning restarts). Two floors:
+            # (a) per-cycle PROGRESS — stop when the work dtype can no
+            # longer improve this cycle's correction; (b) the TARGET
+            # projected through the preconditioned/true norm ratio
+            # measured at the restart boundary (beta/beta0 vs
+            # rel_prev): stop near where certification will succeed
+            # instead of burning the whole f32 progress budget
+            # (measured at 2048² mg, tol 1e-8: the progress-only floor
+            # overshot to a 1e-13 true residual, 29 inner iterations
+            # where ~20 suffice; safety 0.1 biases toward one extra
+            # cycle rather than a rejected certification).
+            inner_floor = (beta / beta0) * jnp.maximum(
+                inner_gain,
+                0.1 * tol / jnp.maximum(
+                    rel_prev, jnp.finfo(dtype).tiny
+                ),
+            )
         elif mixed:
             inner_floor = jnp.maximum(
                 jnp.asarray(tol, dtype), (beta / beta0) * inner_gain
@@ -506,7 +521,7 @@ def _gmres_householder(
 
         return inner_body
 
-    def cycle(x, w, beta, beta0):
+    def cycle(x, w, beta, beta0, rel_prev):
         # Initial reflector from w (gmres_hh.f90:433-436): g(1) =
         # −sign(β, w₁); w₁ += sign(β, w₁); P₁ = w/‖w‖.
         w0 = flat_get(w, 0)
@@ -535,10 +550,23 @@ def _gmres_householder(
             # estimate must not treat tol as its own floor, or cycles
             # degenerate to single iterations once the preconditioned
             # residual dips below tol while the true residual is still
-            # above it (observed: 1000 spinning restarts). Floor on
-            # per-cycle PROGRESS only: stop when the work dtype can no
-            # longer improve this cycle's correction.
-            inner_floor = (beta / beta0) * inner_gain
+            # above it (observed: 1000 spinning restarts). Two floors:
+            # (a) per-cycle PROGRESS — stop when the work dtype can no
+            # longer improve this cycle's correction; (b) the TARGET
+            # projected through the preconditioned/true norm ratio
+            # measured at the restart boundary (beta/beta0 vs
+            # rel_prev): stop near where certification will succeed
+            # instead of burning the whole f32 progress budget
+            # (measured at 2048² mg, tol 1e-8: the progress-only floor
+            # overshot to a 1e-13 true residual, 29 inner iterations
+            # where ~20 suffice; safety 0.1 biases toward one extra
+            # cycle rather than a rejected certification).
+            inner_floor = (beta / beta0) * jnp.maximum(
+                inner_gain,
+                0.1 * tol / jnp.maximum(
+                    rel_prev, jnp.finfo(dtype).tiny
+                ),
+            )
         elif mixed:
             inner_floor = jnp.maximum(
                 jnp.asarray(tol, dtype), (beta / beta0) * inner_gain
