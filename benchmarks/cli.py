@@ -576,28 +576,35 @@ def cmd_restart_sweep(args):
     op = gt.poisson_operator(n)
     m_inv = gt.chebyshev_preconditioner(op, *REF_EIG)
     b = op(jnp.ones((n, n)))
+    use_lgmres = getattr(args, "solver", "gmres") == "lgmres"
+    aug = getattr(args, "aug", 3)
+
+    def solve_fn(mm, tol, max_restarts):
+        # lgmres applies M on the RIGHT (flexible contract) — the same
+        # Chebyshev operator, fair for time-to-converge comparison
+        # against the left-preconditioned householder rows.
+        if use_lgmres:
+            return lambda bb: gt.lgmres(
+                op, bb, restart=mm, aug=aug, tol=tol, M=m_inv,
+                max_restarts=max_restarts,
+            )
+        return lambda bb: gt.gmres(
+            op, bb, restart=mm, tol=tol, M=m_inv,
+            variant="householder", max_restarts=max_restarts,
+            compute_v_err=False,
+        )
+
+    label_base = f"lgmres{aug}" if use_lgmres else "gmres-hh"
     records = []
     for i in range(args.ntests):
         m = args.start + i * args.step
-        fn = jax.jit(
-            lambda bb, mm=m: gt.gmres(
-                op, bb, restart=mm, tol=args.tol, M=m_inv,
-                variant="householder",
-                max_restarts=args.max_restarts, compute_v_err=False,
-            )
-        )
+        fn = jax.jit(solve_fn(m, args.tol, args.max_restarts))
         res, dt = _timed(fn, b)
         total_iters = (max(int(res.restarts) - 1, 0) * m
                        + int(res.iterations))
         extra = {"restart_m": m, "total_iters": total_iters}
         if args.cycle_reps:
-            fnc = jax.jit(
-                lambda bb, mm=m: gt.gmres(
-                    op, bb, restart=mm, tol=1e-30, M=m_inv,
-                    variant="householder",
-                    max_restarts=args.cycle_reps, compute_v_err=False,
-                )
-            )
+            fnc = jax.jit(solve_fn(m, 1e-30, args.cycle_reps))
             _sync(fnc(b))  # compile + warm once
             ts = []
             for _ in range(max(args.repeats, 1)):
@@ -618,7 +625,7 @@ def cmd_restart_sweep(args):
             })
         records.append(
             record_from_result(
-                f"gmres-hh-m{m}", res, x_true=jnp.ones((n, n)),
+                f"{label_base}-m{m}", res, x_true=jnp.ones((n, n)),
                 wall_s=dt, tol=args.tol, nnz=5 * n * n - 4 * n,
                 extra=extra,
             )
@@ -793,7 +800,7 @@ def build_parser() -> argparse.ArgumentParser:
         tol=1e-8)
     add("restart-sweep", cmd_restart_sweep, nsize=280, start=20, step=5,
         ntests=10, tol=1e-15, max_restarts=1000, cycle_reps=0,
-        repeats=5)
+        repeats=5, solver="gmres", aug=3)
     add("spmv", cmd_spmv, nsize=512, reps=20, skip_sparse=False)
     add("roofline", cmd_roofline, grids="1024,2048,4096", reps=20,
         cheb_order=8)

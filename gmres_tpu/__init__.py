@@ -56,6 +56,7 @@ from gmres_tpu.models.convection_diffusion import (
     convection_diffusion_operator,
 )
 from gmres_tpu.solvers.fgmres import fgmres
+from gmres_tpu.solvers.lgmres import lgmres
 from gmres_tpu.ops.sparse import (
     BSRMatrix,
     COOMatrix,
@@ -85,6 +86,7 @@ __all__ = [
     "bicgstabl",
     "gmres",
     "fgmres",
+    "lgmres",
     "sstep_gmres",
     "lanczos_bounds",
     "power_iteration_bound",

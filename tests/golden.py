@@ -203,3 +203,49 @@ def golden_gmres_householder(matvec, b, m, tol, max_restarts, m_inv=None):
         if converged or ferr[n_out - 1] < tol:
             return x, n_out, st, ferr, P
     return x, n_out, max_restarts, ferr, P
+
+
+def golden_lgmres(matvec, b, m, k_aug, tol, max_restarts):
+    """NumPy LGMRES oracle (Baker-Jessup-Manteuffel 2005).
+
+    Space per cycle = K_m(A, r) (orthonormalized Arnoldi) with the
+    last k_aug outer corrections appended, minimized by a dense
+    least-squares on A Z — deliberately a DIFFERENT numerical route
+    from the library's Givens/flexible-Arnoldi machinery, so trajectory
+    agreement validates the mathematics rather than echoing the code.
+    Returns (x, per_cycle_rel_history).
+    """
+    x = np.zeros_like(b)
+    beta0 = np.linalg.norm(b)
+    aug = []  # (z, unused) pairs, newest first
+    hist = []
+    for _ in range(max_restarts):
+        r = b - matvec(x)
+        rel = np.linalg.norm(r) / beta0
+        hist.append(rel)
+        if rel < tol:
+            break
+        v_basis = [r / np.linalg.norm(r)]
+        zcols = []
+        for j in range(m):
+            zcols.append(v_basis[j])
+            w = matvec(v_basis[j])
+            for _pass in range(2):
+                for v in v_basis:
+                    w = w - v * np.dot(v, w)
+            nw = np.linalg.norm(w)
+            if nw < 1e-300:
+                break
+            v_basis.append(w / nw)
+        zcols.extend(z for z, _ in aug[:k_aug])
+        zmat = np.stack(zcols, axis=1)
+        azmat = np.stack([matvec(z) for z in zcols], axis=1)
+        y, *_ = np.linalg.lstsq(azmat, r, rcond=None)
+        dx = zmat @ y
+        x = x + dx
+        az = matvec(dx)
+        nz = np.linalg.norm(az)
+        if nz > 0:
+            aug.insert(0, (dx / nz, None))
+            aug = aug[:k_aug]
+    return x, hist
