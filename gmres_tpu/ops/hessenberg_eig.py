@@ -1,0 +1,340 @@
+"""In-jit dense nonsymmetric eigensolver for small (replicated) matrices.
+
+JAX has no TPU lowering for ``jnp.linalg.eig`` / ``lax.linalg.schur``
+(CPU-only LAPACK callbacks), so anything that needs eigenpairs of the
+projected Hessenberg matrix *inside* a jitted solver — deflated
+restarting (GMRES-DR), harmonic Ritz extraction — would otherwise need
+a host callback per restart (~30 ms RTT each over the axon tunnel,
+comparable to a whole restart cycle). This module implements the
+classical dense path with fixed shapes and ``lax`` control flow so it
+compiles for TPU and runs replicated on every chip, like the rest of
+the small-matrix machinery (SURVEY §2 C14, ops/givens.py):
+
+* :func:`hessenberg_reduce` — Householder similarity reduction of a
+  dense matrix to upper Hessenberg form, accumulating Q (scan over
+  masked full-size reflectors; O(m³) on an m ≤ ~100 matrix is
+  microseconds of replicated VPU work).
+* :func:`hessenberg_eigvals` — explicit single-shift QR iteration with
+  Wilkinson shifts, bottom-up deflation and LAPACK-style exceptional
+  shifts, in complex arithmetic (a complex Schur form has no 2×2
+  real-pair blocks, so the fixed-shape loop stays simple). One
+  ``lax.while_loop`` whose body is two O(m²) Givens scans.
+* :func:`eig_select` — eigenvalues sorted by modulus plus inverse
+  iteration eigenvectors (shifted Hessenberg solves, vmapped over
+  shifts) for the ``nvec`` smallest/largest, mapped back through the
+  reduction's Q.
+
+The reference has no counterpart — its README(11) only *claims* a
+power-method bound; this generalizes the build's C10 answer
+(solvers/lanczos.py, SPD-only ``jnp.linalg.eigh``) to the nonsymmetric
+projected problems GMRES-DR needs, entirely on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _complex_dtype(dtype):
+    return jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else (
+        jnp.complex64 if jnp.dtype(dtype) in (jnp.float32, jnp.complex64)
+        else jnp.complex128
+    )
+
+
+def _real_eps(cdtype):
+    return jnp.finfo(jnp.zeros((), cdtype).real.dtype).eps
+
+
+# ----------------------------------------------------------------------
+# Householder reduction to Hessenberg form
+# ----------------------------------------------------------------------
+def hessenberg_reduce(a: jnp.ndarray):
+    """Unitary similarity reduction A = Q H Q^H, H upper Hessenberg.
+
+    a: (m, m) real or complex. Returns (h, q) in the promoted complex
+    dtype. Fixed-shape scan over m-2 masked full-size reflectors.
+    """
+    m = a.shape[0]
+    cdtype = _complex_dtype(a.dtype)
+    a = a.astype(cdtype)
+    if m <= 2:
+        return a, jnp.eye(m, dtype=cdtype)
+    idx = jnp.arange(m)
+
+    def body(carry, j):
+        h, q = carry
+        x = h[:, j]
+        mask = idx > j  # rows to fold into the reflector
+        xm = jnp.where(mask, x, 0.0)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(xm) ** 2).real)
+        pivot = x[j + 1]
+        # alpha = -sign(pivot)*nrm with complex sign, LAPACK gehrd-style.
+        psign = jnp.where(
+            jnp.abs(pivot) > 0, pivot / jnp.abs(pivot),
+            jnp.ones((), cdtype),
+        )
+        alpha = -psign * nrm
+        v = xm.at[j + 1].add(-alpha)
+        vnorm2 = jnp.sum(jnp.abs(v) ** 2).real
+        beta = jnp.where(vnorm2 > 0, 2.0 / vnorm2, 0.0).astype(cdtype)
+        # H ← P H P,  Q ← Q P  with P = I − β v vᴴ (rank-1 updates).
+        w = beta * (jnp.conj(v) @ h)           # vᴴ H
+        h = h - v[:, None] * w[None, :]
+        w2 = beta * (h @ v)                    # H v
+        h = h - w2[:, None] * jnp.conj(v)[None, :]
+        wq = beta * (q @ v)
+        q = q - wq[:, None] * jnp.conj(v)[None, :]
+        return (h, q), None
+
+    (h, q), _ = jax.lax.scan(
+        body, (a, jnp.eye(m, dtype=cdtype)), jnp.arange(m - 2)
+    )
+    # Scrub sub-subdiagonal roundoff so downstream code sees exact zeros.
+    h = jnp.where(idx[:, None] > idx[None, :] + 1, 0.0, h)
+    return h, q
+
+
+# ----------------------------------------------------------------------
+# Shifted QR iteration on a complex Hessenberg matrix
+# ----------------------------------------------------------------------
+def _left_sweep(b, p, rhs=None):
+    """One explicit QR pass: zero the subdiagonal of b for rows ≤ p.
+
+    Returns (r, rotations) with rotations = (ar, br) per step such that
+    U_j = [[conj(ar), conj(br)], [−br, ar]] acted on rows (j, j+1); if
+    ``rhs`` is given it is rotated alongside (for least-squares solves).
+    """
+    m = b.shape[0]
+
+    def body(carry, j):
+        b, rhs = carry
+        rows = jax.lax.dynamic_slice(b, (j, 0), (2, m))
+        pair = jax.lax.dynamic_slice(rows, (0, j), (2, 1))[:, 0]
+        aa, bb = pair[0], pair[1]
+        r = jnp.sqrt((jnp.abs(aa) ** 2 + jnp.abs(bb) ** 2))
+        active = (j < p) & (r > 0)
+        rsafe = jnp.where(r > 0, r, 1.0)
+        ar = jnp.where(active, aa / rsafe, 1.0).astype(b.dtype)
+        br = jnp.where(active, bb / rsafe, 0.0).astype(b.dtype)
+        new0 = jnp.conj(ar) * rows[0] + jnp.conj(br) * rows[1]
+        new1 = -br * rows[0] + ar * rows[1]
+        b = jax.lax.dynamic_update_slice(
+            b, jnp.stack([new0, new1]), (j, 0)
+        )
+        if rhs is not None:
+            rpair = jax.lax.dynamic_slice(rhs, (j,), (2,))
+            rnew = jnp.stack([
+                jnp.conj(ar) * rpair[0] + jnp.conj(br) * rpair[1],
+                -br * rpair[0] + ar * rpair[1],
+            ])
+            rhs = jax.lax.dynamic_update_slice(rhs, rnew, (j,))
+        return (b, rhs), (ar, br)
+
+    (r, rhs_out), rots = jax.lax.scan(
+        body, (b, rhs), jnp.arange(m - 1)
+    )
+    return r, rots, rhs_out
+
+
+def _right_sweep(b, rots):
+    """Apply stored rotations on the right: B ← B · U₀ᴴ … U_{m-2}ᴴ."""
+    m = b.shape[0]
+
+    def body(b, inp):
+        j, ar, br = inp
+        cols = jax.lax.dynamic_slice(b, (0, j), (m, 2))
+        new0 = cols[:, 0] * ar + cols[:, 1] * br
+        new1 = -cols[:, 0] * jnp.conj(br) + cols[:, 1] * jnp.conj(ar)
+        return jax.lax.dynamic_update_slice(
+            b, jnp.stack([new0, new1], axis=1), (0, j)
+        ), None
+
+    b, _ = jax.lax.scan(body, b, (jnp.arange(m - 1),) + rots)
+    return b
+
+
+def _wilkinson_shift(h, p):
+    """Eigenvalue of the trailing active 2×2 block closest to H[p, p]."""
+    a = h[p - 1, p - 1]
+    b = h[p - 1, p]
+    c = h[p, p - 1]
+    d = h[p, p]
+    delta = (a - d) * 0.5
+    s = jnp.sqrt(delta * delta + b * c)
+    q1 = delta + s
+    q2 = delta - s
+    q = jnp.where(jnp.abs(q1) >= jnp.abs(q2), q1, q2)
+    mu = jnp.where(
+        jnp.abs(q) > 0, d - b * c / jnp.where(jnp.abs(q) > 0, q, 1.0), d
+    )
+    return mu
+
+
+@partial(jax.jit, static_argnames=("max_sweeps",))
+def hessenberg_eigvals(h: jnp.ndarray, *, max_sweeps: int | None = None):
+    """Eigenvalues of an upper-Hessenberg matrix by shifted QR.
+
+    h: (m, m) real or complex upper Hessenberg (entries below the first
+    subdiagonal are ignored). Returns (vals, converged) where vals is
+    the (m,) complex eigenvalue vector (unordered) and converged is a
+    bool scalar (False ⇒ the sweep budget ran out; values are then the
+    current diagonal — callers should treat the decomposition as
+    unavailable, e.g. fall back to an undeflated restart).
+    """
+    m = h.shape[0]
+    cdtype = _complex_dtype(h.dtype)
+    a = h.astype(cdtype)
+    idx = jnp.arange(m)
+    a = jnp.where(idx[:, None] > idx[None, :] + 1, 0.0, a)
+    if m == 1:
+        return a[0, :1], jnp.array(True)
+    eps = _real_eps(cdtype)
+    fro = jnp.sqrt(jnp.sum(jnp.abs(a) ** 2))
+    floor = eps * jnp.maximum(fro, jnp.asarray(1.0, fro.dtype))
+    if max_sweeps is None:
+        max_sweeps = 30 * m
+
+    def small_sub(a, p):
+        return jnp.abs(a[p, p - 1]) <= (
+            eps * (jnp.abs(a[p - 1, p - 1]) + jnp.abs(a[p, p])) + floor
+        )
+
+    def deflate(state):
+        a, p = state
+
+        def cond(st):
+            a, p = st
+            return (p > 0) & small_sub(a, p)
+
+        def body(st):
+            a, p = st
+            return a.at[p, p - 1].set(0.0), p - 1
+
+        return jax.lax.while_loop(cond, body, (a, p))
+
+    def cond(state):
+        a, p, it, stall = state
+        return (p > 0) & (it < max_sweeps)
+
+    def body(state):
+        a, p, it, stall = state
+        a, p = deflate((a, p))
+
+        def sweep(args):
+            a, p, stall = args
+            mu = _wilkinson_shift(a, p)
+            mu = jnp.where(
+                stall >= 8,
+                a[p, p] + 0.75 * jnp.abs(a[p, p - 1]).astype(cdtype),
+                mu,
+            )
+            stall = jnp.where(stall >= 8, 0, stall)
+            b = a - mu * jnp.eye(m, dtype=cdtype)
+            r, rots, _ = _left_sweep(b, p)
+            b = _right_sweep(r, rots)
+            return b + mu * jnp.eye(m, dtype=cdtype), stall + 1
+
+        def skip(args):
+            a, _, stall = args
+            return a, stall
+
+        a, stall = jax.lax.cond(p > 0, sweep, skip, (a, p, stall))
+        return a, p, it + 1, stall
+
+    a, p, _, _ = jax.lax.while_loop(
+        cond, body, (a, jnp.int32(m - 1), jnp.int32(0), jnp.int32(0))
+    )
+    a, p = deflate((a, p))
+    return jnp.diagonal(a), p == 0
+
+
+# ----------------------------------------------------------------------
+# Shifted Hessenberg solve + inverse iteration
+# ----------------------------------------------------------------------
+def hessenberg_shifted_solve(h, lam, rhs):
+    """Solve (H − λI) y = rhs for upper-Hessenberg H (complex)."""
+    m = h.shape[0]
+    cdtype = _complex_dtype(h.dtype)
+    b = h.astype(cdtype) - lam * jnp.eye(m, dtype=cdtype)
+    if m == 1:
+        eps1 = _real_eps(cdtype)
+        d = b[0, 0]
+        dsafe = jnp.where(
+            jnp.abs(d) > eps1, d, jnp.asarray(eps1, cdtype)
+        )
+        return rhs.astype(cdtype) / dsafe
+    r, _, g = _left_sweep(b, jnp.int32(m - 1), rhs.astype(cdtype))
+    eps = _real_eps(cdtype)
+    scale = jnp.max(jnp.abs(r)) + jnp.asarray(1.0, eps.dtype)
+    diag = jnp.diagonal(r)
+    dsafe = jnp.where(
+        jnp.abs(diag) > eps * scale,
+        diag,
+        (eps * scale).astype(cdtype),
+    )
+    rr = r - jnp.diag(diag) + jnp.diag(dsafe)
+
+    def back(y, i):
+        yi = (g[i] - jnp.sum(rr[i] * y)) / rr[i, i]
+        return y.at[i].set(yi), None
+
+    y0 = jnp.zeros((m,), cdtype)
+    y, _ = jax.lax.scan(back, y0, jnp.arange(m - 1, -1, -1))
+    return y
+
+
+def hessenberg_eigvec(h, lam, *, iters: int = 3):
+    """Unit eigenvector of Hessenberg H for eigenvalue ≈ lam by inverse
+    iteration (shift perturbed off the exact eigenvalue)."""
+    m = h.shape[0]
+    cdtype = _complex_dtype(h.dtype)
+    eps = _real_eps(cdtype)
+    hnorm = jnp.sqrt(jnp.sum(jnp.abs(h.astype(cdtype)) ** 2))
+    shift = lam + (16.0 * eps * (hnorm + jnp.abs(lam))).astype(cdtype)
+    # Deterministic non-degenerate start (no RNG inside solvers).
+    v = (1.0 + 0.25 * jnp.sin(jnp.arange(m, dtype=hnorm.dtype))).astype(
+        cdtype
+    )
+
+    def body(v, _):
+        y = hessenberg_shifted_solve(h, shift, v)
+        n = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2))
+        return y / jnp.where(n > 0, n, 1.0), None
+
+    v, _ = jax.lax.scan(body, v / jnp.sqrt(jnp.asarray(m, hnorm.dtype)),
+                        None, length=iters)
+    return v
+
+
+def eig_select(a: jnp.ndarray, nvec: int, *, which: str = "smallest",
+               max_sweeps: int | None = None):
+    """Sorted eigenvalues + selected eigenvectors of a small dense
+    matrix, fully in-jit.
+
+    a: (m, m) real or complex dense. nvec: number of eigenvectors
+    (static). which: 'smallest' or 'largest' (by modulus) — order of
+    the returned sort and of the eigenvector selection.
+
+    Returns (vals, vecs, ok): vals (m,) complex sorted by |·|
+    (ascending for 'smallest'), vecs (m, nvec) complex unit
+    eigenvectors of A for vals[:nvec], ok bool (QR iteration
+    converged; if False the vectors are unreliable).
+    """
+    if which not in ("smallest", "largest"):
+        raise ValueError(f"unknown selection '{which}'")
+    h, q = hessenberg_reduce(a)
+    vals, ok = hessenberg_eigvals(h, max_sweeps=max_sweeps)
+    order = jnp.argsort(jnp.abs(vals))
+    if which == "largest":
+        order = order[::-1]
+    vals = vals[order]
+    vecs_h = jax.vmap(lambda lam: hessenberg_eigvec(h, lam),
+                      out_axes=1)(vals[:nvec])
+    vecs = q @ vecs_h
+    nrm = jnp.sqrt(jnp.sum(jnp.abs(vecs) ** 2, axis=0))
+    vecs = vecs / jnp.where(nrm > 0, nrm, 1.0)[None, :]
+    return vals, vecs, ok
