@@ -57,6 +57,7 @@ from gmres_tpu.models.convection_diffusion import (
 )
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
+from gmres_tpu.solvers.gmres_dr import gmres_dr
 from gmres_tpu.ops.sparse import (
     BSRMatrix,
     COOMatrix,
@@ -87,6 +88,7 @@ __all__ = [
     "gmres",
     "fgmres",
     "lgmres",
+    "gmres_dr",
     "sstep_gmres",
     "lanczos_bounds",
     "power_iteration_bound",

@@ -249,3 +249,71 @@ def golden_lgmres(matvec, b, m, k_aug, tol, max_restarts):
             aug.insert(0, (dx / nz, None))
             aug = aug[:k_aug]
     return x, hist
+
+
+def golden_gmres_dr(matvec, b, m, k, tol, max_restarts):
+    """NumPy GMRES-DR oracle (Morgan, SIMAX 2002, Thm 2.2 subspace).
+
+    Deliberately a long-vector route, disjoint from the solver's
+    coordinate machinery: each cycle orthonormalizes the EXPLICIT
+    subspace [Y, r, A r, ..., A^{m-k-1} r], minimizes by dense lstsq on
+    A W, and extracts the next cycle's Y as harmonic Ritz vectors from
+    the generalized eigenproblem (AW)^H(AW) g = theta (AW)^H W g solved
+    with numpy on long vectors. Both implementations minimize over the
+    same mathematical subspace, so per-cycle residual norms must agree
+    to rounding.  Returns (x, per_cycle_rel_history).
+    """
+    n = b.size
+    x = np.zeros_like(b)
+    beta0 = np.linalg.norm(b)
+    y_defl = np.zeros((n, 0))
+    hist = []
+    for _ in range(max_restarts):
+        r = b - matvec(x)
+        rel = np.linalg.norm(r) / beta0
+        hist.append(rel)
+        if rel < tol:
+            break
+        # Orthonormal W: QR(Y) columns, the orthogonalized residual,
+        # then Arnoldi continuation (2-pass MGS on long vectors) — the
+        # same span as [Y, r, A r, ...] but numerically stable (a raw
+        # power basis loses orthogonality at cond(A)^j).
+        if y_defl.shape[1]:
+            wq, _ = np.linalg.qr(y_defl)
+            basis = [wq[:, i] for i in range(wq.shape[1])]
+        else:
+            basis = []
+        v = r.copy()
+        while len(basis) < m:
+            for _pass in range(2):
+                for u in basis:
+                    v = v - u * (u @ v)
+            nv = np.linalg.norm(v)
+            if nv < 1e-13 * beta0:
+                break
+            basis.append(v / nv)
+            v = matvec(basis[-1])
+        w = np.stack(basis, axis=1)
+        aw = np.stack([matvec(w[:, i]) for i in range(w.shape[1])],
+                      axis=1)
+        yy, *_ = np.linalg.lstsq(aw, r, rcond=None)
+        x = x + w @ yy
+        # Harmonic Ritz from the same subspace (generalized eig).
+        lhs = aw.conj().T @ aw
+        rhs = aw.conj().T @ w
+        theta, g = np.linalg.eig(np.linalg.solve(rhs, lhs))
+        order = np.argsort(np.abs(theta))
+        sel, i = [], 0
+        while len(sel) < k and i < len(order):
+            gi = g[:, order[i]]
+            if np.abs(theta[order[i]].imag) > 1e-12 * (
+                np.abs(theta[order[i]]) + 1.0
+            ):
+                sel.append((w @ gi).real)
+                sel.append((w @ gi).imag)
+                i += 2  # conjugate partner adds nothing new
+            else:
+                sel.append((w @ gi).real)
+                i += 1
+        y_defl = np.stack(sel, axis=1) if sel else np.zeros((n, 0))
+    return x, hist
