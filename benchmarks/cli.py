@@ -576,16 +576,22 @@ def cmd_restart_sweep(args):
     op = gt.poisson_operator(n)
     m_inv = gt.chebyshev_preconditioner(op, *REF_EIG)
     b = op(jnp.ones((n, n)))
-    use_lgmres = getattr(args, "solver", "gmres") == "lgmres"
+    solver = getattr(args, "solver", "gmres")
     aug = getattr(args, "aug", 3)
+    deflate = getattr(args, "deflate", 10)
 
     def solve_fn(mm, tol, max_restarts):
-        # lgmres applies M on the RIGHT (flexible contract) — the same
-        # Chebyshev operator, fair for time-to-converge comparison
-        # against the left-preconditioned householder rows.
-        if use_lgmres:
+        # lgmres/gmres-dr apply M on the RIGHT (flexible contract) —
+        # the same Chebyshev operator, fair for time-to-converge
+        # comparison against the left-preconditioned householder rows.
+        if solver == "lgmres":
             return lambda bb: gt.lgmres(
                 op, bb, restart=mm, aug=aug, tol=tol, M=m_inv,
+                max_restarts=max_restarts,
+            )
+        if solver == "gmres-dr":
+            return lambda bb: gt.gmres_dr(
+                op, bb, restart=mm, deflate=deflate, tol=tol, M=m_inv,
                 max_restarts=max_restarts,
             )
         return lambda bb: gt.gmres(
@@ -594,7 +600,9 @@ def cmd_restart_sweep(args):
             compute_v_err=False,
         )
 
-    label_base = f"lgmres{aug}" if use_lgmres else "gmres-hh"
+    label_base = {"lgmres": f"lgmres{aug}",
+                  "gmres-dr": f"gmres-dr{deflate}"}.get(solver,
+                                                        "gmres-hh")
     records = []
     for i in range(args.ntests):
         m = args.start + i * args.step
@@ -800,7 +808,7 @@ def build_parser() -> argparse.ArgumentParser:
         tol=1e-8)
     add("restart-sweep", cmd_restart_sweep, nsize=280, start=20, step=5,
         ntests=10, tol=1e-15, max_restarts=1000, cycle_reps=0,
-        repeats=5, solver="gmres", aug=3)
+        repeats=5, solver="gmres", aug=3, deflate=10)
     add("spmv", cmd_spmv, nsize=512, reps=20, skip_sparse=False)
     add("roofline", cmd_roofline, grids="1024,2048,4096", reps=20,
         cheb_order=8)

@@ -42,6 +42,9 @@ from benchmarks.cli import main
         ["restart-sweep", "--nsize", "16", "--start", "5", "--step", "5",
          "--ntests", "2", "--tol", "1e-8", "--solver", "lgmres",
          "--aug", "2", "--cycle-reps", "2", "--repeats", "2"],
+        ["restart-sweep", "--nsize", "16", "--start", "8", "--step", "4",
+         "--ntests", "2", "--tol", "1e-8", "--solver", "gmres-dr",
+         "--deflate", "3"],
         ["weak-scaling", "--nsize-per-device", "8", "--restart", "10",
          "--tol", "1e-8", "--max-devices", "2", "--max-restarts", "200",
          "--precond", "chebyshev"],
