@@ -58,6 +58,7 @@ from gmres_tpu.models.convection_diffusion import (
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
 from gmres_tpu.solvers.gmres_dr import gmres_dr
+from gmres_tpu.solvers.block_gmres import block_gmres
 from gmres_tpu.ops.sparse import (
     BSRMatrix,
     COOMatrix,
@@ -89,6 +90,7 @@ __all__ = [
     "fgmres",
     "lgmres",
     "gmres_dr",
+    "block_gmres",
     "sstep_gmres",
     "lanczos_bounds",
     "power_iteration_bound",

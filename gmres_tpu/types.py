@@ -111,3 +111,32 @@ class GmresResult:
     @property
     def converged(self) -> jnp.ndarray:
         return self.status == SolverStatus.CONVERGED
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockSolveResult:
+    """Result of a block (multi-RHS) solve.
+
+    No reference counterpart (the reference is single-RHS throughout,
+    src/interfaces.f90:12-18); block solvers exist here because a block
+    of s right-hand sides turns the HBM-bound basis streaming into
+    MXU-batched matmuls (docs/DESIGN.md §4c).
+
+    Attributes:
+      x: (s, *shape) stacked solutions.
+      restarts: restart cycles performed (int32).
+      residuals: (s,) final relative residual per right-hand side.
+      residual: max over `residuals` (the convergence gate).
+      status: SolverStatus int32 (CONVERGED iff every RHS converged).
+    """
+
+    x: Any
+    restarts: jnp.ndarray
+    residuals: jnp.ndarray
+    residual: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def converged(self) -> jnp.ndarray:
+        return self.status == SolverStatus.CONVERGED
