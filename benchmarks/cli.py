@@ -19,6 +19,9 @@ scaling, SpMV throughput):
                     (weak_scaling.f90:60): grid grows with device count
   convdiff        ← BASELINE.md config 3: BiCGSTAB on nonsymmetric 2-D
                     convection-diffusion
+  helmholtz       ← symmetric-INDEFINITE 2-D Helmholtz: MINRES with
+                    the SPD shifted-Laplacian V-cycle (no reference
+                    analogue — the class its solver set cannot address)
   spmv            ← nnz/s throughput of the stencil + sparse formats
 
 Usage: python -m benchmarks.cli <subcommand> [options]
@@ -304,6 +307,73 @@ def cmd_convdiff(args):
                 nnz=5 * n * n - 4 * n,
                 extra={"matvecs": matvecs, "precision": args.precision,
                        "smoother": args.smoother},
+            )
+        ],
+        args,
+    )
+
+
+def cmd_helmholtz(args):
+    """Symmetric-indefinite Helmholtz solve (models/helmholtz.py):
+    MINRES (or GMRES for comparison), optionally with the SPD
+    shifted-Laplacian multigrid preconditioner. kh2 > 0 sets (k·h)²
+    directly; otherwise kh2_factor scales the grid's smallest Laplacian
+    eigenvalue (factor > 1 ⇒ indefinite, roughly `factor` negative
+    modes along each small-index diagonal band)."""
+    from gmres_tpu.models.helmholtz import (
+        helmholtz_lambda_min,
+        helmholtz_operator,
+    )
+
+    n = args.nsize
+    kh2 = (args.kh2 if args.kh2 > 0
+           else args.kh2_factor * helmholtz_lambda_min(n, 0.0))
+    op = helmholtz_operator(n, kh2)
+    b = op(jnp.ones((n, n)))
+    mixed = args.precision == "mixed"
+    m_inv = None
+    if args.precond == "mg":
+        # f32 inside the cycle keeps it SPD-symmetric in exact terms of
+        # the f32 arithmetic and Pallas-routes every smoother; MINRES's
+        # Lanczos runs on whatever M returns, so the cast lives inside
+        # the cycle (internal_dtype), not on the solver.
+        m_inv = gt.helmholtz_shifted_laplacian_preconditioner(
+            n, kh2, smooth_order=args.smooth_order,
+            internal_dtype=jnp.float32 if mixed else None,
+        )
+    if args.solver == "gmres":
+        fn = jax.jit(
+            lambda bb: gt.gmres(
+                op, bb, restart=30, tol=args.tol, M=m_inv,
+                certify="true", compute_v_err=False,
+                inner_dtype=jnp.float32 if mixed else None,
+                max_restarts=max(args.max_iterations // 30, 1),
+            )
+        )
+    else:
+        fn = jax.jit(
+            lambda bb: gt.minres(
+                op, bb, tol=args.tol,
+                max_iterations=args.max_iterations, M=m_inv,
+            )
+        )
+    res, dt = _timed(fn, b)
+    if args.solver == "gmres":
+        total_inner = (max(int(res.restarts) - 1, 0) * 30
+                       + int(res.iterations))
+        matvecs = total_inner + int(res.restarts)
+    else:
+        # 1 matvec/iteration + 1 exit certification.
+        matvecs = int(res.iterations) + 1
+    _emit(
+        [
+            record_from_result(
+                f"{args.solver}-helmholtz-{n}x{n}", res,
+                x_true=jnp.ones((n, n)), wall_s=dt, tol=args.tol,
+                nnz=5 * n * n - 4 * n,
+                extra={"matvecs": matvecs, "kh2": kh2,
+                       "precision": args.precision,
+                       "precond": args.precond},
             )
         ],
         args,
@@ -798,6 +868,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
         tol=1e-9, max_iterations=10_000, precond="none",
         solver="bicgstab", precision="f64", smoother="jacobi", ell=2)
+    add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
+        tol=1e-9, max_iterations=50_000, precond="mg", solver="minres",
+        precision="f64", smooth_order=3)
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

@@ -18,8 +18,12 @@ Fortran+OpenMP library AlexanderGSC/gmres (see /root/reference):
 * Chebyshev polynomial preconditioner of arbitrary order, with Lanczos
   spectral-bound estimation (reference: ``src/preconds/chebyshev.f90``;
   Lanczos was claimed in the reference README but absent from its code).
+* MINRES for symmetric indefinite systems (Paige-Saunders), with the
+  SPD shifted-Laplacian multigrid preconditioner — no reference
+  analogue (the reference leaves this class to GMRES).
 * Model problems: 2-D Poisson (dense + matrix-free 5-point stencil),
-  Hilbert matrix, 2-D convection-diffusion (reference: ``src/problems/``).
+  Hilbert matrix, 2-D convection-diffusion, 2-D Helmholtz (symmetric
+  indefinite) (reference: ``src/problems/``).
 * Sparse operators: CSR / COO / ELL / BSR / DIA SpMV (Pallas block-sparse kernel; gather-free DIA for banded matrices).
 * SPMD distribution over a ``jax.sharding.Mesh``: vectors are sharded,
   dot products become ``psum`` all-reduces, stencil halos become
@@ -36,11 +40,13 @@ from gmres_tpu.solvers.cg import cg
 from gmres_tpu.solvers.bicgstab import bicgstab
 from gmres_tpu.solvers.bicgstabl import bicgstabl
 from gmres_tpu.solvers.gmres import gmres
+from gmres_tpu.solvers.minres import minres
 from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
 from gmres_tpu.precond.multigrid import (
     convection_diffusion_multigrid_preconditioner,
+    helmholtz_shifted_laplacian_preconditioner,
     poisson_multigrid_preconditioner,
 )
 from gmres_tpu.models.poisson import (
@@ -54,6 +60,12 @@ from gmres_tpu.models.hilbert import hilbert_matrix
 from gmres_tpu.models.convection_diffusion import (
     convection_diffusion_apply,
     convection_diffusion_operator,
+)
+from gmres_tpu.models.helmholtz import (
+    helmholtz_apply,
+    helmholtz_lambda_min,
+    helmholtz_matrix,
+    helmholtz_operator,
 )
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
@@ -87,6 +99,7 @@ __all__ = [
     "bicgstab",
     "bicgstabl",
     "gmres",
+    "minres",
     "fgmres",
     "lgmres",
     "gmres_dr",
@@ -97,6 +110,7 @@ __all__ = [
     "chebyshev_preconditioner",
     "poisson_multigrid_preconditioner",
     "convection_diffusion_multigrid_preconditioner",
+    "helmholtz_shifted_laplacian_preconditioner",
     "poisson_matrix",
     "poisson_apply",
     "poisson_operator",
@@ -105,6 +119,10 @@ __all__ = [
     "hilbert_matrix",
     "convection_diffusion_apply",
     "convection_diffusion_operator",
+    "helmholtz_apply",
+    "helmholtz_lambda_min",
+    "helmholtz_matrix",
+    "helmholtz_operator",
     "BSRMatrix",
     "COOMatrix",
     "CSRMatrix",

@@ -1,0 +1,77 @@
+"""2-D Helmholtz model problem (symmetric INDEFINITE).
+
+The reference library's model problems are SPD (poisson2d.f90:4-44,
+hilbert.f90) and its nonsymmetric class is covered here by
+models/convection_diffusion.py. What neither exercises is the third
+classic regime: SYMMETRIC INDEFINITE, the domain of MINRES
+(solvers/minres.py). Discretization: −Δu − k²u with the unit 5-point
+stencil, h² folded out like the reference Poisson stencil
+(poisson2d.f90:23-31 center 4):
+
+    y(i,j) = (4 − (kh)²)·x(i,j) − x(i±1,j) − x(i,j±1)
+
+The operator is symmetric for every k and indefinite as soon as (kh)²
+exceeds the smallest Laplacian eigenvalue 8·sin²(π/(2(n+1))) — the
+regime where CG's (r, Ap) pivots lose positivity and GMRES ignores the
+symmetry it could exploit; MINRES is the right tool.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from gmres_tpu.ops.stencil import stencil_5pt_general
+
+
+def helmholtz_coefs(kh2: float):
+    """(center, west, east, south, north) stencil coefficients for
+    −Δ − k² at squared nondimensional wavenumber kh2 = (k·h)²."""
+    return (4.0 - float(kh2), -1.0, -1.0, -1.0, -1.0)
+
+
+def helmholtz_lambda_min(nsize: int, kh2: float = 0.0) -> float:
+    """Exact smallest eigenvalue of the (shifted) stencil on the
+    nsize×nsize Dirichlet grid: 8·sin²(π/(2(n+1))) − kh2. Negative ⇔
+    the operator is indefinite (the MINRES regime)."""
+    import math
+
+    return 8.0 * math.sin(math.pi / (2 * (nsize + 1))) ** 2 - float(kh2)
+
+
+def helmholtz_apply(x: jnp.ndarray, kh2: float = 0.5) -> jnp.ndarray:
+    """y = A·x on an (N, N) grid (or flat (N²,))."""
+    c = helmholtz_coefs(kh2)
+    if x.ndim == 1:
+        n = int(round(x.shape[0] ** 0.5))
+        return stencil_5pt_general(x.reshape(n, n), *c).reshape(-1)
+    return stencil_5pt_general(x, *c)
+
+
+def helmholtz_operator(nsize: int, kh2: float = 0.5) -> Callable:
+    c = helmholtz_coefs(kh2)
+
+    def apply_grid(x: jnp.ndarray) -> jnp.ndarray:
+        return stencil_5pt_general(x, *c)
+
+    return apply_grid
+
+
+def helmholtz_matrix(
+    nsize: int, kh2: float = 0.5, dtype=jnp.float64
+) -> jnp.ndarray:
+    """Dense assembly for small-n validation (C-order flattening)."""
+    c0, cw, ce, cs, cn = helmholtz_coefs(kh2)
+    eye = jnp.eye(nsize, dtype=dtype)
+    kx = (
+        c0 / 2.0 * jnp.eye(nsize, dtype=dtype)
+        + cw * jnp.eye(nsize, k=-1, dtype=dtype)
+        + ce * jnp.eye(nsize, k=1, dtype=dtype)
+    )
+    ky = (
+        c0 / 2.0 * jnp.eye(nsize, dtype=dtype)
+        + cs * jnp.eye(nsize, k=-1, dtype=dtype)
+        + cn * jnp.eye(nsize, k=1, dtype=dtype)
+    )
+    return jnp.kron(eye, kx) + jnp.kron(ky, eye)

@@ -529,3 +529,169 @@ def convection_diffusion_multigrid_preconditioner(
     m_inv.cheb_intervals = cheb_ivals
     m_inv.coarse_interval = coarse_ival
     return m_inv
+
+
+def helmholtz_shifted_laplacian_preconditioner(
+    nsize: int,
+    kh2: float,
+    shift: float = 1.0,
+    levels: int | None = None,
+    smooth_order: int = 3,
+    coarse_order: int = 32,
+    smooth_band: float = 4.0,
+    mesh=None,
+    replicate_below: int | None = None,
+    use_pallas: str = "auto",
+    internal_dtype=None,
+) -> Callable:
+    """SPD shifted-Laplacian V-cycle for the INDEFINITE Helmholtz
+    stencil (models/helmholtz.py): M ≈ (−Δ + shift·k²)⁻¹, the real
+    Bayliss-Goldstein-Turkel preconditioner. Multigrid cannot be run
+    on −Δ − k² itself (the coarse-grid correction amplifies the
+    near-null indefinite modes), but the POSITIVELY shifted operator
+    is an M-matrix at every level and multigrid is optimal on it;
+    applied to the Helmholtz system it clusters the spectrum into
+    [−1, 1] with a gap scaling like 1/(kh)², trading iteration counts
+    that grow with the indefiniteness for a fixed O(1)-sweep cycle.
+
+    Structure mirrors ``poisson_multigrid_preconditioner`` (same
+    transfers, same per-level Chebyshev smoothing on the upper
+    spectrum) with ONE change: the shift is an h²-scaled zeroth-order
+    term, so it QUADRUPLES per coarsening — level l's stencil is
+    (4 + shift·kh2·4ˡ, −1, −1, −1, −1), and every level's spectral
+    interval is known in closed form (Dirichlet eigenvalues of the
+    unit stencil, offset by the level shift), so no setup-time
+    estimation is needed.
+
+    SYMMETRY: pre- and post-smoothers are the SAME fixed polynomial
+    S = p(A_l) in the symmetric level operator and the transfers are
+    exact adjoints (restrict_sum = prolong_repeatᵀ), so the whole
+    cycle is a symmetric positive-definite operator — the property
+    MINRES (solvers/minres.py) requires of its preconditioner. That is
+    why this function takes a single ``smooth_order`` instead of the
+    pre/post pair its siblings expose. Verified by direct assembly in
+    tests/test_minres.py.
+
+    internal_dtype: run the cycle in this dtype (f32 makes every
+    smoother Pallas-routable under an f64 outer solver, same play as
+    the convection-diffusion cycle above).
+    """
+    import math
+
+    from gmres_tpu.ops.stencil import stencil_5pt_general
+    from gmres_tpu.precond.chebyshev import (
+        chebyshev_stencil_preconditioner,
+    )
+
+    if shift < 0:
+        raise ValueError("shift must be >= 0 (SPD requires +k² shift)")
+    if levels is None:
+        levels = 1
+        n = nsize
+        while n % 2 == 0 and n > 16:
+            n //= 2
+            levels += 1
+    sizes = [nsize // (2 ** l) for l in range(levels)]
+    for l, n in enumerate(sizes):
+        if l > 0 and sizes[l - 1] != 2 * n:
+            raise ValueError(
+                f"nsize={nsize} not divisible by 2**{levels - 1}"
+            )
+    shifts = [float(shift) * float(kh2) * 4.0 ** l for l in range(levels)]
+    coefs = [(4.0 + s, -1.0, -1.0, -1.0, -1.0) for s in shifts]
+    lam_maxs = [8.0 + s for s in shifts]
+    # coarsest level's exact λ_min (unit-stencil Dirichlet minimum
+    # plus that level's shift): solve its full spectrum.
+    lam_min_coarse = shifts[-1] + 8.0 * math.sin(
+        math.pi / (2 * (sizes[-1] + 1))
+    ) ** 2
+
+    up = "never" if mesh is not None else use_pallas
+    smoother_at = {
+        l: chebyshev_stencil_preconditioner(
+            lam_maxs[l] / smooth_band, lam_maxs[l],
+            order=max(smooth_order, 1), coefs=coefs[l], use_pallas=up,
+        )
+        for l in range(levels)
+    }
+    coarse_at = chebyshev_stencil_preconditioner(
+        lam_min_coarse, lam_maxs[-1],
+        order=coarse_order, coefs=coefs[-1], use_pallas=up,
+    )
+
+    if up != "never":
+        from gmres_tpu.ops.stencil import stencil_5pt_routed_general
+
+        def _apply_raw(x, l):
+            return stencil_5pt_routed_general(x, coefs[l])
+    else:
+        def _apply_raw(x, l):
+            return stencil_5pt_general(x, *coefs[l])
+
+    apply_at = {l: (lambda x, l=l: _apply_raw(x, l)) for l in range(levels)}
+
+    replicate_from = levels
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if replicate_below is None:
+            replicate_below = 8 * int(mesh.devices.size)
+        for l, sz in enumerate(sizes):
+            if sz < replicate_below:
+                replicate_from = l
+                break
+        repl = NamedSharding(mesh, PartitionSpec())
+
+        def pin(x):
+            return jax.lax.with_sharding_constraint(x, repl)
+
+        # Pin the OPERATOR, not just the level entry — the same GSPMD
+        # backward-propagation lesson as the cycles above.
+        for l in range(replicate_from, levels):
+            def stencil_repl(x, l=l):
+                return pin(stencil_5pt_general(pin(x), *coefs[l]))
+
+            apply_at[l] = stencil_repl
+            smoother_at[l] = chebyshev_preconditioner(
+                stencil_repl, lam_maxs[l] / smooth_band, lam_maxs[l],
+                order=max(smooth_order, 1), reference_form=False,
+            )
+        if replicate_from <= levels - 1:
+            coarse_at = chebyshev_preconditioner(
+                apply_at[levels - 1], lam_min_coarse, lam_maxs[-1],
+                order=coarse_order, reference_form=False,
+            )
+
+        def agglomerate(r):
+            return pin(r)
+    else:
+        def agglomerate(r):
+            return r
+
+    def v_cycle(r: jnp.ndarray, level: int) -> jnp.ndarray:
+        if level == replicate_from:
+            r = agglomerate(r)
+        if level == levels - 1:
+            return coarse_at(r)
+        s_l = smoother_at[level]
+        a_l = apply_at[level]
+        e = s_l(r)
+        ec = v_cycle(restrict_sum(r - a_l(e)), level + 1)
+        e = e + prolong_repeat(ec)
+        return e + s_l(r - a_l(e))
+
+    def m_inv(r: jnp.ndarray) -> jnp.ndarray:
+        if internal_dtype is not None and r.dtype != internal_dtype:
+            return v_cycle(r.astype(internal_dtype), 0).astype(r.dtype)
+        return v_cycle(r, 0)
+
+    # Same static work accounting as the Poisson cycle (for nnz/s
+    # derivations): order-k Chebyshev = k−1 operator applications.
+    per_level = 2 * (max(smooth_order, 1) - 1) + 2
+    m_inv.fine_equiv_sweeps = sum(
+        per_level * 0.25 ** l for l in range(levels - 1)
+    ) + (coarse_order - 1) * 0.25 ** (levels - 1)
+    m_inv.levels = levels
+    m_inv.level_shifts = shifts
+    return m_inv

@@ -27,6 +27,11 @@ from benchmarks.cli import main
          "mg", "--precision", "mixed"],
         ["convdiff", "--nsize", "16", "--tol", "1e-8", "--precond",
          "mg", "--solver", "gmres", "--precision", "mixed"],
+        ["helmholtz", "--nsize", "32", "--tol", "1e-8"],
+        ["helmholtz", "--nsize", "32", "--tol", "1e-8", "--precond",
+         "none", "--solver", "gmres"],
+        ["helmholtz", "--nsize", "32", "--tol", "1e-8", "--precision",
+         "mixed"],
         ["strong-scaling", "--nsize", "16", "--restart", "10",
          "--tol", "1e-8", "--max-devices", "4", "--max-restarts", "200"],
         ["strong-scaling", "--nsize", "16", "--restart", "10",

@@ -112,3 +112,49 @@ def test_tuned_poisson_preconditioner_converges():
                    compute_v_err=False, certify="true", max_restarts=100)
     assert bool(res.converged)
     np.testing.assert_allclose(res.x, 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("kh2", [0.0, 0.5, 2.0])
+def test_helmholtz_dense_vs_stencil(kh2):
+    from gmres_tpu.models.helmholtz import (
+        helmholtz_apply,
+        helmholtz_matrix,
+    )
+
+    nsize = 9
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((nsize, nsize))
+    dense = helmholtz_matrix(nsize, kh2) @ x.reshape(-1)
+    sten = helmholtz_apply(jnp.asarray(x), kh2).reshape(-1)
+    np.testing.assert_allclose(np.asarray(sten), np.asarray(dense),
+                               atol=1e-12)
+
+
+def test_helmholtz_symmetric_indefinite():
+    """Symmetric at every k; indefinite exactly when (kh)² exceeds the
+    closed-form smallest Laplacian eigenvalue (helmholtz_lambda_min)."""
+    from gmres_tpu.models.helmholtz import (
+        helmholtz_lambda_min,
+        helmholtz_matrix,
+    )
+
+    nsize = 12
+    thresh = helmholtz_lambda_min(nsize, 0.0)
+    for kh2, indefinite in [(0.5 * thresh, False), (4.0 * thresh, True)]:
+        a = np.asarray(helmholtz_matrix(nsize, kh2))
+        np.testing.assert_allclose(a, a.T, atol=0)
+        eigs = np.linalg.eigvalsh(a)
+        assert (eigs.min() < 0) == indefinite
+        np.testing.assert_allclose(
+            eigs.min(), helmholtz_lambda_min(nsize, kh2), atol=1e-12
+        )
+
+
+def test_helmholtz_zero_k_is_poisson():
+    from gmres_tpu.models.helmholtz import helmholtz_apply
+
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((8, 8)))
+    np.testing.assert_allclose(
+        np.asarray(helmholtz_apply(x, 0.0)),
+        np.asarray(poisson_apply(x)), atol=0
+    )
