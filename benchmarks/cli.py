@@ -22,6 +22,10 @@ scaling, SpMV throughput):
   helmholtz       ← symmetric-INDEFINITE 2-D Helmholtz: MINRES with
                     the SPD shifted-Laplacian V-cycle (no reference
                     analogue — the class its solver set cannot address)
+  eig             ← k smallest Poisson eigenpairs by MG-preconditioned
+                    LOBPCG vs the closed-form Dirichlet spectrum (C10
+                    completed: the reference README's claimed-but-
+                    absent eigenvalue estimation)
   spmv            ← nnz/s throughput of the stencil + sparse formats
 
 Usage: python -m benchmarks.cli <subcommand> [options]
@@ -90,6 +94,9 @@ def _sync(out):
     """Force completion. block_until_ready returns early through the
     remote-TPU (axon) tunnel, so fetch one result scalar instead."""
     res = getattr(out, "residual", None)
+    if res is None:
+        rs = getattr(out, "residuals", None)  # EigResult
+        res = None if rs is None else rs.max()
     if res is not None:
         float(res)
     else:
@@ -378,6 +385,55 @@ def cmd_helmholtz(args):
         ],
         args,
     )
+
+
+def cmd_eig(args):
+    """k smallest Poisson eigenpairs by (MG-preconditioned) LOBPCG,
+    validated against the closed-form Dirichlet spectrum — the C10
+    capability as a driver (the reference README claims estimation it
+    never implemented, README.md:11)."""
+    import math
+
+    n, k = args.nsize, args.k
+    op = gt.poisson_operator(n)
+    m_inv = (gt.poisson_multigrid_preconditioner(n)
+             if args.precond == "mg" else None)
+    x0 = jax.random.normal(
+        jax.random.PRNGKey(0), (k, n, n), dtype=jnp.float64
+    )
+    fn = jax.jit(
+        lambda xx: gt.lobpcg(op, xx, tol=args.tol,
+                             max_iterations=args.max_iterations, M=m_inv)
+    )
+    res, dt = _timed(fn, x0)
+    lam = np.sort(np.asarray(res.eigenvalues))
+    # candidates with i, j ≤ k+1 always contain the k smallest: any
+    # pair with an index beyond k+1 dominates the k+1 candidates that
+    # differ only in that index.
+    m_idx = min(n, k + 1)
+    exact = np.sort([
+        4.0 - 2 * math.cos(i * math.pi / (n + 1))
+        - 2 * math.cos(j * math.pi / (n + 1))
+        for i in range(1, m_idx + 1) for j in range(1, m_idx + 1)
+    ])[:k]
+    rec = RunRecord(
+        name=f"lobpcg-poisson-{n}x{n}",
+        nvars=n * n,
+        iterations=int(res.iterations),
+        tol=args.tol,
+        residual=float(np.max(np.asarray(res.residuals))),
+        l2_error=float(np.linalg.norm(lam - exact)),
+        linf_error=float(np.max(np.abs(lam - exact))),
+        wall_s=dt,
+        nnz=5 * n * n - 4 * n,
+        extra={
+            "k": k,
+            "eigenvalues": [float(v) for v in lam],
+            "precond": args.precond,
+            "converged": bool(res.converged),
+        },
+    )
+    _emit([rec], args)
 
 
 def cmd_roofline(args):
@@ -885,6 +941,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("spmv", cmd_spmv, nsize=512, reps=20, skip_sparse=False)
     add("roofline", cmd_roofline, grids="1024,2048,4096", reps=20,
         cheb_order=8)
+    add("eig", cmd_eig, nsize=256, k=4, tol=1e-8,
+        max_iterations=200, precond="mg")
     return p
 
 

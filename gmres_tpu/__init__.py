@@ -34,6 +34,7 @@ Fortran+OpenMP library AlexanderGSC/gmres (see /root/reference):
 from gmres_tpu.types import (
     SolveResult,
     GmresResult,
+    EigResult,
     SolverStatus,
 )
 from gmres_tpu.solvers.cg import cg
@@ -43,6 +44,7 @@ from gmres_tpu.solvers.gmres import gmres
 from gmres_tpu.solvers.minres import minres
 from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
+from gmres_tpu.solvers.lobpcg import lobpcg
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
 from gmres_tpu.precond.multigrid import (
     convection_diffusion_multigrid_preconditioner,
@@ -94,6 +96,7 @@ from gmres_tpu.ops.sparse import (
 __all__ = [
     "SolveResult",
     "GmresResult",
+    "EigResult",
     "SolverStatus",
     "cg",
     "bicgstab",
@@ -107,6 +110,7 @@ __all__ = [
     "sstep_gmres",
     "lanczos_bounds",
     "power_iteration_bound",
+    "lobpcg",
     "chebyshev_preconditioner",
     "poisson_multigrid_preconditioner",
     "convection_diffusion_multigrid_preconditioner",

@@ -115,6 +115,36 @@ class GmresResult:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class EigResult:
+    """Result of a block eigensolve (solvers/lobpcg.py).
+
+    No reference counterpart — the reference README claims Lanczos
+    estimation it never implemented (README.md:11, SURVEY C10); this
+    library's answer grew from bound estimation (solvers/lanczos.py)
+    to a full preconditioned eigensolver.
+
+    Attributes:
+      eigenvalues: (k,) Ritz values, ascending.
+      x: (k, *shape) orthonormal Ritz vectors (rows).
+      iterations: LOBPCG iterations performed (int32).
+      residuals: (k,) final ‖A xᵢ − λᵢ xᵢ‖₂ (xᵢ unit-norm, so this is
+        an absolute per-pair residual).
+      status: SolverStatus int32 (CONVERGED iff every pair converged).
+    """
+
+    eigenvalues: jnp.ndarray
+    x: Any
+    iterations: jnp.ndarray
+    residuals: jnp.ndarray
+    status: jnp.ndarray
+
+    @property
+    def converged(self) -> jnp.ndarray:
+        return self.status == SolverStatus.CONVERGED
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class BlockSolveResult:
     """Result of a block (multi-RHS) solve.
 

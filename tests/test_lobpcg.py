@@ -1,0 +1,126 @@
+"""LOBPCG (solvers/lobpcg.py) — preconditioned block eigensolver.
+Oracles: the closed-form Dirichlet eigenvalues of the Poisson stencil
+(including a degenerate pair) and dense numpy eigh."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gmres_tpu as gt
+
+
+def _poisson_eigs(n, k):
+    return sorted(
+        4.0 - 2 * math.cos(i * math.pi / (n + 1))
+        - 2 * math.cos(j * math.pi / (n + 1))
+        for i in range(1, n + 1) for j in range(1, n + 1)
+    )[:k]
+
+
+def test_poisson_closed_form_eigenvalues():
+    n, k = 24, 4
+    op = gt.poisson_operator(n)
+    X0 = jnp.asarray(np.random.default_rng(0).standard_normal((k, n, n)))
+    res = gt.lobpcg(op, X0, tol=1e-8, max_iterations=400)
+    assert bool(res.converged)
+    # includes the degenerate (1,2)/(2,1) pair
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvalues), _poisson_eigs(n, k), rtol=1e-10
+    )
+    assert float(jnp.max(res.residuals)) < 1e-8
+    # Ritz block is orthonormal
+    g = np.asarray(jnp.tensordot(
+        res.x.reshape(k, -1), res.x.reshape(k, -1), axes=(1, 1)
+    ))
+    np.testing.assert_allclose(g, np.eye(k), atol=1e-8)
+
+
+def test_dense_spd_oracle():
+    d, k = 60, 3
+    rng = np.random.default_rng(2)
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lam = np.linspace(0.5, 40.0, d)
+    a = (q * lam) @ q.T
+    aj = jnp.asarray(a)
+    op = lambda v: aj @ v  # noqa: E731
+    X0 = jnp.asarray(rng.standard_normal((k, d)))
+    res = gt.lobpcg(op, X0, tol=1e-9, max_iterations=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvalues), lam[:k], rtol=1e-9
+    )
+    # eigenvector check against numpy (up to sign), eigenvalues distinct
+    w, v = np.linalg.eigh(a)
+    for i in range(k):
+        xi = np.asarray(res.x[i])
+        assert abs(abs(xi @ v[:, i]) - 1.0) < 1e-6
+
+
+def test_multigrid_preconditioning_is_the_lever():
+    """The V-cycle turns the h²-gap-limited plain iteration into a
+    grid-independent one — same preconditioner object the linear
+    solves use."""
+    k = 4
+    iters = {}
+    for n in (64, 128):
+        op = gt.poisson_operator(n)
+        m = gt.poisson_multigrid_preconditioner(n)
+        X0 = jnp.asarray(
+            np.random.default_rng(1).standard_normal((k, n, n))
+        )
+        res = gt.lobpcg(op, X0, tol=1e-8, max_iterations=100, M=m)
+        assert bool(res.converged)
+        np.testing.assert_allclose(
+            np.asarray(res.eigenvalues), _poisson_eigs(n, k), rtol=1e-8
+        )
+        iters[n] = int(res.iterations)
+    assert iters[64] <= 40 and iters[128] <= 40
+    # plain LOBPCG at 64² does not converge in the same budget
+    plain = gt.lobpcg(
+        gt.poisson_operator(64),
+        jnp.asarray(np.random.default_rng(1).standard_normal((k, 64, 64))),
+        tol=1e-8, max_iterations=100,
+    )
+    assert not bool(plain.converged)
+
+
+def test_degenerate_start_block():
+    """Duplicate and zero rows in X0 are replaced by deterministic
+    fallback directions — the fixed-shape substitute for dynamic basis
+    shrinking."""
+    n, k = 24, 3
+    op = gt.poisson_operator(n)
+    row = jnp.asarray(np.random.default_rng(3).standard_normal((n, n)))
+    X0 = jnp.stack([row, row, jnp.zeros((n, n))])
+    res = gt.lobpcg(op, X0, tol=1e-7, max_iterations=400)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvalues), _poisson_eigs(n, k), rtol=1e-8
+    )
+
+
+def test_sharded_parity():
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from gmres_tpu.parallel.mesh import solver_mesh
+
+    mesh = solver_mesh(8)
+    n, k = 64, 4
+    op = gt.poisson_operator(n)
+    m = gt.poisson_multigrid_preconditioner(n)
+    X0 = jnp.asarray(np.random.default_rng(1).standard_normal((k, n, n)))
+    base = gt.lobpcg(op, X0, tol=1e-8, max_iterations=100, M=m)
+    X0_sh = jax.device_put(
+        X0, NamedSharding(mesh, PartitionSpec(None, "grid", None))
+    )
+    sh = jax.jit(
+        lambda x: gt.lobpcg(op, x, tol=1e-8, max_iterations=100, M=m)
+    )(X0_sh)
+    assert bool(sh.converged)
+    assert abs(int(base.iterations) - int(sh.iterations)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(sh.eigenvalues), np.asarray(base.eigenvalues),
+        rtol=1e-9,
+    )
