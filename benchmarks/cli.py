@@ -335,6 +335,41 @@ def cmd_helmholtz(args):
     n = args.nsize
     kh2 = (args.kh2 if args.kh2 > 0
            else args.kh2_factor * helmholtz_lambda_min(n, 0.0))
+    if args.precond == "csl" or args.damping > 0:
+        # Complex route: CSL-preconditioned GMRES (mgsr — the
+        # complex-capable variant); the operator itself is complex
+        # when damping > 0.
+        from gmres_tpu.precond.multigrid import (
+            csl_multigrid_preconditioner,
+        )
+
+        op = helmholtz_operator(n, kh2, args.damping)
+        b = op(jnp.ones((n, n), dtype=jnp.complex128))
+        m_inv = csl_multigrid_preconditioner(n, kh2)
+        fn = jax.jit(
+            lambda bb: gt.gmres(
+                op, bb, restart=60, tol=args.tol, M=m_inv,
+                variant="mgsr", certify="true", compute_v_err=False,
+                max_restarts=max(args.max_iterations // 60, 1),
+            )
+        )
+        res, dt = _timed(fn, b)
+        total_inner = (max(int(res.restarts) - 1, 0) * 60
+                       + int(res.iterations))
+        _emit(
+            [
+                record_from_result(
+                    f"gmres-csl-helmholtz-{n}x{n}", res,
+                    x_true=jnp.ones((n, n), dtype=jnp.complex128),
+                    wall_s=dt, tol=args.tol, nnz=5 * n * n - 4 * n,
+                    extra={"matvecs": total_inner + int(res.restarts),
+                           "kh2": kh2, "damping": args.damping,
+                           "precond": "csl"},
+                )
+            ],
+            args,
+        )
+        return
     op = helmholtz_operator(n, kh2)
     b = op(jnp.ones((n, n)))
     mixed = args.precision == "mixed"
@@ -926,7 +961,7 @@ def build_parser() -> argparse.ArgumentParser:
         solver="bicgstab", precision="f64", smoother="jacobi", ell=2)
     add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
         tol=1e-9, max_iterations=50_000, precond="mg", solver="minres",
-        precision="f64", smooth_order=3)
+        precision="f64", smooth_order=3, damping=0.0)
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

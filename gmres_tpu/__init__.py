@@ -21,6 +21,10 @@ Fortran+OpenMP library AlexanderGSC/gmres (see /root/reference):
 * MINRES for symmetric indefinite systems (Paige-Saunders), with the
   SPD shifted-Laplacian multigrid preconditioner — no reference
   analogue (the reference leaves this class to GMRES).
+* Complex-operator support (conjugate-correct dots/Givens; MGSR
+  GMRES), with the complex-shifted-Laplacian (Erlangga-Oosterlee-Vuik)
+  multigrid preconditioner for Helmholtz — the reference is real-only.
+* LOBPCG preconditioned block eigensolver (k smallest SPD eigenpairs).
 * Model problems: 2-D Poisson (dense + matrix-free 5-point stencil),
   Hilbert matrix, 2-D convection-diffusion, 2-D Helmholtz (symmetric
   indefinite) (reference: ``src/problems/``).
@@ -48,6 +52,7 @@ from gmres_tpu.solvers.lobpcg import lobpcg
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
 from gmres_tpu.precond.multigrid import (
     convection_diffusion_multigrid_preconditioner,
+    csl_multigrid_preconditioner,
     helmholtz_shifted_laplacian_preconditioner,
     poisson_multigrid_preconditioner,
 )
@@ -115,6 +120,7 @@ __all__ = [
     "poisson_multigrid_preconditioner",
     "convection_diffusion_multigrid_preconditioner",
     "helmholtz_shifted_laplacian_preconditioner",
+    "csl_multigrid_preconditioner",
     "poisson_matrix",
     "poisson_apply",
     "poisson_operator",

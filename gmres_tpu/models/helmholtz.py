@@ -25,9 +25,18 @@ import jax.numpy as jnp
 from gmres_tpu.ops.stencil import stencil_5pt_general
 
 
-def helmholtz_coefs(kh2: float):
+def helmholtz_coefs(kh2: float, damping: float = 0.0):
     """(center, west, east, south, north) stencil coefficients for
-    −Δ − k² at squared nondimensional wavenumber kh2 = (k·h)²."""
+    −Δ − (1 + i·damping)·k² at squared nondimensional wavenumber
+    kh2 = (k·h)². damping > 0 models an absorbing medium (the center
+    coefficient — and hence the operator — becomes complex); the
+    complex path rides the SAME solvers via their conjugate-correct
+    dots and Givens rotations (ops/blas.py, ops/givens.py)."""
+    if damping:
+        return (
+            4.0 - float(kh2) * complex(1.0, float(damping)),
+            -1.0, -1.0, -1.0, -1.0,
+        )
     return (4.0 - float(kh2), -1.0, -1.0, -1.0, -1.0)
 
 
@@ -40,17 +49,21 @@ def helmholtz_lambda_min(nsize: int, kh2: float = 0.0) -> float:
     return 8.0 * math.sin(math.pi / (2 * (nsize + 1))) ** 2 - float(kh2)
 
 
-def helmholtz_apply(x: jnp.ndarray, kh2: float = 0.5) -> jnp.ndarray:
+def helmholtz_apply(
+    x: jnp.ndarray, kh2: float = 0.5, damping: float = 0.0
+) -> jnp.ndarray:
     """y = A·x on an (N, N) grid (or flat (N²,))."""
-    c = helmholtz_coefs(kh2)
+    c = helmholtz_coefs(kh2, damping)
     if x.ndim == 1:
         n = int(round(x.shape[0] ** 0.5))
         return stencil_5pt_general(x.reshape(n, n), *c).reshape(-1)
     return stencil_5pt_general(x, *c)
 
 
-def helmholtz_operator(nsize: int, kh2: float = 0.5) -> Callable:
-    c = helmholtz_coefs(kh2)
+def helmholtz_operator(
+    nsize: int, kh2: float = 0.5, damping: float = 0.0
+) -> Callable:
+    c = helmholtz_coefs(kh2, damping)
 
     def apply_grid(x: jnp.ndarray) -> jnp.ndarray:
         return stencil_5pt_general(x, *c)
@@ -59,10 +72,12 @@ def helmholtz_operator(nsize: int, kh2: float = 0.5) -> Callable:
 
 
 def helmholtz_matrix(
-    nsize: int, kh2: float = 0.5, dtype=jnp.float64
+    nsize: int, kh2: float = 0.5, dtype=jnp.float64, damping: float = 0.0
 ) -> jnp.ndarray:
     """Dense assembly for small-n validation (C-order flattening)."""
-    c0, cw, ce, cs, cn = helmholtz_coefs(kh2)
+    if damping and not jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        dtype = jnp.complex128
+    c0, cw, ce, cs, cn = helmholtz_coefs(kh2, damping)
     eye = jnp.eye(nsize, dtype=dtype)
     kx = (
         c0 / 2.0 * jnp.eye(nsize, dtype=dtype)

@@ -20,16 +20,21 @@ import jax.numpy as jnp
 
 
 def tree_vdot(a: Any, b: Any) -> jnp.ndarray:
-    """Scalar dot product Σ aᵢ·bᵢ over matching pytrees (real dtypes)."""
+    """Scalar inner product Σ conj(aᵢ)·bᵢ over matching pytrees
+    (``jnp.vdot`` semantics: conjugate-linear in the FIRST argument —
+    a no-op that XLA elides for the real dtypes every reference path
+    uses; complex operators ride the same solvers, SURVEY beyond-ref)."""
     leaves = jax.tree.leaves(
-        jax.tree.map(lambda x, y: jnp.sum(x * y), a, b)
+        jax.tree.map(lambda x, y: jnp.sum(jnp.conj(x) * y), a, b)
     )
     return jnp.sum(jnp.stack(leaves)) if len(leaves) > 1 else leaves[0]
 
 
 def tree_norm(a: Any) -> jnp.ndarray:
-    """2-norm ‖a‖₂ of a pytree (Fortran ``norm2`` analogue)."""
-    return jnp.sqrt(tree_vdot(a, a))
+    """2-norm ‖a‖₂ of a pytree (Fortran ``norm2`` analogue); real
+    even for complex pytrees (conj(x)·x has exactly zero imaginary
+    part, but the complex DTYPE must not leak into comparisons)."""
+    return jnp.sqrt(jnp.real(tree_vdot(a, a)))
 
 
 def tree_add(a: Any, b: Any) -> Any:

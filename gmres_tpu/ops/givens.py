@@ -61,10 +61,17 @@ def givens_step(state: GivensState, hcol: jnp.ndarray, t) -> tuple[
 
     ct = hrot[t]
     ct1 = hrot[t + 1]
-    ds = jnp.hypot(ct1, ct)  # hypot(H(j+1,j), H(j,j)), gmres_hh.f90:74
+    # hypot(|H(j+1,j)|, |H(j,j)|), gmres_hh.f90:74 — abs() makes the
+    # same formula serve complex Hessenbergs (the reference is
+    # real-only); for real inputs hypot takes magnitudes anyway.
+    ds = jnp.hypot(jnp.abs(ct1), jnp.abs(ct))
     safe = jnp.where(ds > 0, ds, 1.0)
-    cs = jnp.where(ds > 0, ct / safe, 1.0)
-    sn = jnp.where(ds > 0, ct1 / safe, 0.0)
+    # Complex Givens G = [[c, s], [-conj(s), conj(c)]] with
+    # c = conj(ct)/ρ, s = conj(ct1)/ρ: unitary, zeroes the
+    # subdiagonal, and reduces EXACTLY to the reference's real
+    # rotation when conj is the identity.
+    cs = jnp.where(ds > 0, jnp.conj(ct) / safe, jnp.ones_like(ct))
+    sn = jnp.where(ds > 0, jnp.conj(ct1) / safe, jnp.zeros_like(ct1))
 
     col = hrot.at[t].set(cs * ct + sn * ct1).at[t + 1].set(0.0)
 
@@ -72,7 +79,7 @@ def givens_step(state: GivensState, hcol: jnp.ndarray, t) -> tuple[
     row_t = jax.lax.dynamic_slice_in_dim(omega, t, 1, axis=0)[0]
     row_t1 = jax.lax.dynamic_slice_in_dim(omega, t + 1, 1, axis=0)[0]
     new_t = cs * row_t + sn * row_t1
-    new_t1 = -sn * row_t + cs * row_t1
+    new_t1 = -jnp.conj(sn) * row_t + jnp.conj(cs) * row_t1
     omega = jax.lax.dynamic_update_slice_in_dim(omega, new_t[None], t, axis=0)
     omega = jax.lax.dynamic_update_slice_in_dim(
         omega, new_t1[None], t + 1, axis=0
@@ -81,6 +88,8 @@ def givens_step(state: GivensState, hcol: jnp.ndarray, t) -> tuple[
     # Rotate the rhs (gmres_hh.f90:79-83).
     gt = g[t]
     gt1 = g[t + 1]
-    g = g.at[t].set(cs * gt + sn * gt1).at[t + 1].set(-sn * gt + cs * gt1)
+    g = g.at[t].set(cs * gt + sn * gt1).at[t + 1].set(
+        -jnp.conj(sn) * gt + jnp.conj(cs) * gt1
+    )
 
     return GivensState(omega=omega, g=g, beta0=beta0), col, g[t + 1]

@@ -91,10 +91,13 @@ def _fortran_sign(a, b):
 
 
 def _cgs_pass(v_basis: jnp.ndarray, w: jnp.ndarray):
-    """Classical Gram-Schmidt pass: h = V·w (one all-reduce), then
-    w ← w − Vᵀh. Zero basis rows self-mask."""
+    """Classical Gram-Schmidt pass: h = V̄·w (one all-reduce), then
+    w ← w − Vᵀh. Zero basis rows self-mask. The conjugate makes the
+    same pass serve complex operators (elided for real dtypes)."""
     axes = list(range(1, v_basis.ndim))
-    h = jnp.tensordot(v_basis, w, axes=(axes, list(range(w.ndim))))
+    h = jnp.tensordot(
+        jnp.conj(v_basis), w, axes=(axes, list(range(w.ndim)))
+    )
     w = w - jnp.tensordot(h, v_basis, axes=(0, 0))
     return h, w
 
@@ -105,7 +108,7 @@ def _mgs_pass(v_basis: jnp.ndarray, w: jnp.ndarray):
     Zero rows are no-ops, so scanning the full buffer needs no mask."""
 
     def step(w, v_row):
-        h = tree_vdot(w, v_row)
+        h = tree_vdot(v_row, w)  # ⟨v, w⟩: conjugate-linear in v
         return w - h * v_row, h
 
     w, h = jax.lax.scan(step, w, v_basis)
@@ -119,12 +122,13 @@ def _mgs_pass(v_basis: jnp.ndarray, w: jnp.ndarray):
 
 def _v_err_mgsr(gram: jnp.ndarray, n_out, dtype) -> jnp.ndarray:
     """Cumulative orthogonality chain of gmres_mgsr.f90:414-420:
-    v_err(j+1)² = v_err(j)² + Σ_{i≤j} 2(Vi·V_{j+1})² + ((V_{j+1}·V_{j+1})−1)²."""
+    v_err(j+1)² = v_err(j)² + Σ_{i≤j} 2(Vi·V_{j+1})² + ((V_{j+1}·V_{j+1})−1)².
+    |·|² keeps the metric real for complex bases (identical for real)."""
     mp1 = gram.shape[0]
     rows = jnp.arange(mp1)[:, None]
     cols = jnp.arange(mp1)[None, :]
-    off = jnp.where(cols < rows, gram**2, 0.0)
-    a = 2.0 * jnp.sum(off, axis=1) + (jnp.diagonal(gram) - 1.0) ** 2
+    off = jnp.where(cols < rows, jnp.abs(gram) ** 2, 0.0)
+    a = 2.0 * jnp.sum(off, axis=1) + jnp.abs(jnp.diagonal(gram) - 1.0) ** 2
     active = (jnp.arange(mp1) >= 1) & (jnp.arange(mp1) <= n_out)
     a = jnp.where(active, a, 0.0)
     return jnp.sqrt(jnp.cumsum(a)).astype(dtype) * active.astype(dtype)
@@ -172,7 +176,8 @@ def _restarted(
     work_dtype=None,
 ):
     dtype = b.dtype
-    beta0 = jnp.sqrt(tree_vdot(b, b))
+    rdtype = jnp.finfo(dtype).dtype  # real counterpart (norms, history)
+    beta0 = jnp.sqrt(jnp.real(tree_vdot(b, b)))
     tiny = jnp.finfo(dtype).tiny
 
     def true_residual(x):
@@ -190,18 +195,20 @@ def _restarted(
             # 1e39 overflows f32 → spurious BREAKDOWN; ‖b‖ ~ 1e-40
             # flushes to zero → false convergence). M is linear, so
             # M(r) = ‖r‖·M(r/‖r‖) exactly.
-            r_norm = jnp.sqrt(tree_vdot(r, r))
+            r_norm = jnp.sqrt(jnp.real(tree_vdot(r, r)))
             scale = jnp.where(r_norm > 0, r_norm, jnp.ones_like(r_norm))
             w = M((r / scale).astype(work_dtype)).astype(dtype) * scale
         else:
             w = M(r)
-        beta_w = jnp.sqrt(tree_vdot(w, w))
+        beta_w = jnp.sqrt(jnp.real(tree_vdot(w, w)))
         if certify_true:
             # Certification norm: the UNPRECONDITIONED residual — the
             # quantity benchmarks and users actually care about; with
             # a deep polynomial M the preconditioned norm can be a
             # large factor off in either direction.
-            rel = jnp.sqrt(tree_vdot(r, r)) / jnp.maximum(beta0, tiny)
+            rel = jnp.sqrt(jnp.real(tree_vdot(r, r))) / jnp.maximum(
+                beta0, tiny
+            )
         else:
             rel = beta_w / jnp.maximum(beta0, tiny)
         return w, beta_w, rel
@@ -252,7 +259,7 @@ def _restarted(
         converged0,
         jnp.array(False),
         jnp.int32(0),
-        jnp.zeros((m,), dtype=dtype),
+        jnp.zeros((m,), dtype=rdtype),
         basis_init,
         rel_init,
     )
@@ -302,6 +309,7 @@ def _gmres_mgsr(
     certify_true: bool,
 ) -> GmresResult:
     dtype = b.dtype
+    rdtype = jnp.finfo(dtype).dtype  # real counterpart for norms
     shape = b.shape
     mixed = work_dtype != dtype
     ortho = _cgs_pass if orthogonalization == "cgs2" else _mgs_pass
@@ -327,7 +335,7 @@ def _gmres_mgsr(
             with jax.named_scope("gmres.orthogonalize"):
                 h1, w = ortho(v_basis, w)
                 h2, w = ortho(v_basis, w)
-            h_val = jnp.sqrt(tree_vdot(w, w))
+            h_val = jnp.sqrt(jnp.real(tree_vdot(w, w)))
             hcol = (h1 + h2).astype(dtype).at[t + 1].set(
                 h_val.astype(dtype)
             )
@@ -335,20 +343,22 @@ def _gmres_mgsr(
             hmat = jax.lax.dynamic_update_slice(
                 hmat, col[:, None], (jnp.zeros((), t.dtype), t)
             )
-            rel = jnp.abs(g_next) / giv.beta0
+            rel = jnp.abs(g_next) / jnp.abs(giv.beta0)
             ferr = ferr.at[t].set(rel)
             # V(:,j+1) is written unconditionally, matching
             # gmres_mgsr_omp (gmres_mgsr.f90:384).
-            v_new = w / jnp.where(h_val > 0, h_val, 1.0)
+            v_new = w / jnp.where(h_val > 0, h_val, 1.0).astype(
+                work_dtype
+            )
             v_basis = v_basis.at[t + 1].set(v_new)
             if check_inner or mixed:
                 converged = (rel < inner_floor) | (
-                    h_val.astype(dtype) < tol
+                    h_val.astype(rdtype) < tol
                 )
             else:
                 converged = jnp.array(False)
             return (
-                (t + 1, v_basis, hmat, giv, h_val.astype(dtype), t + 1,
+                (t + 1, v_basis, hmat, giv, h_val.astype(rdtype), t + 1,
                  ferr),
                 converged,
             )
@@ -361,9 +371,9 @@ def _gmres_mgsr(
         v_basis = v_basis.at[0].set(w_work)
         g0 = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
         giv = givens_init(m, g0)
-        giv = giv._replace(beta0=beta0)
+        giv = giv._replace(beta0=beta0.astype(dtype))
         hmat = jnp.zeros((m + 1, m), dtype=dtype)
-        ferr = jnp.zeros((m,), dtype=dtype)
+        ferr = jnp.zeros((m,), dtype=rdtype)
         if certify_true:
             # Certification happens in a DIFFERENT norm (the
             # unpreconditioned residual) — the inner preconditioned
@@ -389,10 +399,10 @@ def _gmres_mgsr(
             )
         elif mixed:
             inner_floor = jnp.maximum(
-                jnp.asarray(tol, dtype), (beta / beta0) * inner_gain
+                jnp.asarray(tol, rdtype), (beta / beta0) * inner_gain
             )
         else:
-            inner_floor = jnp.asarray(tol, dtype)
+            inner_floor = jnp.asarray(tol, rdtype)
 
         st0 = (
             (jnp.int32(0), v_basis, hmat, giv, beta, jnp.int32(0), ferr),
@@ -423,10 +433,10 @@ def _gmres_mgsr(
 
     if compute_v_err:
         vf = v_basis.reshape(m + 1, -1)
-        gram = (vf @ vf.T).astype(dtype)
-        v_err = _v_err_mgsr(gram, n_out, dtype)
+        gram = (jnp.conj(vf) @ vf.T).astype(dtype)  # Hermitian Gram
+        v_err = _v_err_mgsr(gram, n_out, rdtype)
     else:
-        v_err = jnp.zeros((m + 1,), dtype=dtype)
+        v_err = jnp.zeros((m + 1,), dtype=rdtype)
 
     return GmresResult(
         x=x, iterations=n_out, restarts=k, residual=residual,
@@ -690,6 +700,13 @@ def gmres(
     if certify not in ("preconditioned", "true"):
         raise ValueError(f"unknown certify {certify}")
     certify_true = certify == "true"
+    if (jnp.issubdtype(b.dtype, jnp.complexfloating)
+            and variant == "householder"):
+        raise ValueError(
+            "variant='householder' is real-only (the Walker sign "
+            "convention and reflector algebra assume real arithmetic) "
+            "— use variant='mgsr' for complex operators"
+        )
     op = _as_operator(A)
     if b.size == 1:
         # Degenerate 1×1 system: the Householder machinery needs
@@ -705,8 +722,8 @@ def gmres(
         # restart criterion), "true" the unpreconditioned norm.
         r = b - op(x)
         w = M(r) if (M is not None and not certify_true) else r
-        residual = jnp.sqrt(tree_vdot(w, w)) / jnp.maximum(
-            jnp.sqrt(tree_vdot(b, b)), jnp.finfo(b.dtype).tiny
+        residual = jnp.sqrt(jnp.real(tree_vdot(w, w))) / jnp.maximum(
+            jnp.sqrt(jnp.real(tree_vdot(b, b))), jnp.finfo(b.dtype).tiny
         )
         # BREAKDOWN is reserved for the singular a == 0 case; a solvable
         # system that misses tol (only possible through M's scaling or
@@ -720,11 +737,12 @@ def gmres(
                 jnp.int32(SolverStatus.MAX_ITERATIONS),
             ),
         )
+        rdt = jnp.finfo(b.dtype).dtype
         return GmresResult(
             x=x, iterations=jnp.int32(1), restarts=jnp.int32(1),
             residual=residual, status=status,
-            residual_history=jnp.full((1,), residual, dtype=b.dtype),
-            v_err=jnp.zeros((2,), dtype=b.dtype),
+            residual_history=jnp.full((1,), residual, dtype=rdt),
+            v_err=jnp.zeros((2,), dtype=rdt),
         )
     # Clamp the Krylov dimension to n−1: the reference allocates
     # P(n, m+1) with m > n for e.g. Hilbert n=12, m=90 and relies on

@@ -35,6 +35,8 @@ from benchmarks.cli import main
          "none", "--solver", "gmres"],
         ["helmholtz", "--nsize", "32", "--tol", "1e-8", "--precision",
          "mixed"],
+        ["helmholtz", "--nsize", "32", "--kh2", "0.2", "--tol", "1e-7",
+         "--precond", "csl", "--damping", "0.1"],
         ["strong-scaling", "--nsize", "16", "--restart", "10",
          "--tol", "1e-8", "--max-devices", "4", "--max-restarts", "200"],
         ["strong-scaling", "--nsize", "16", "--restart", "10",
