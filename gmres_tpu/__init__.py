@@ -27,7 +27,8 @@ Fortran+OpenMP library AlexanderGSC/gmres (see /root/reference):
 * LOBPCG preconditioned block eigensolver (k smallest SPD eigenpairs).
 * Model problems: 2-D Poisson (dense + matrix-free 5-point stencil),
   Hilbert matrix, 2-D convection-diffusion, 2-D Helmholtz (symmetric
-  indefinite) (reference: ``src/problems/``).
+  indefinite), 3-D Poisson (7-point stencil + 3-D multigrid)
+  (reference: ``src/problems/`` — 2-D only).
 * Sparse operators: CSR / COO / ELL / BSR / DIA SpMV (Pallas block-sparse kernel; gather-free DIA for banded matrices).
 * SPMD distribution over a ``jax.sharding.Mesh``: vectors are sharded,
   dot products become ``psum`` all-reduces, stencil halos become
@@ -54,6 +55,7 @@ from gmres_tpu.precond.multigrid import (
     convection_diffusion_multigrid_preconditioner,
     csl_multigrid_preconditioner,
     helmholtz_shifted_laplacian_preconditioner,
+    poisson3d_multigrid_preconditioner,
     poisson_multigrid_preconditioner,
 )
 from gmres_tpu.models.poisson import (
@@ -73,6 +75,12 @@ from gmres_tpu.models.helmholtz import (
     helmholtz_lambda_min,
     helmholtz_matrix,
     helmholtz_operator,
+)
+from gmres_tpu.models.poisson3d import (
+    poisson3d_apply,
+    poisson3d_matrix,
+    poisson3d_operator,
+    poisson3d_spectral_bounds,
 )
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
@@ -133,6 +141,11 @@ __all__ = [
     "helmholtz_lambda_min",
     "helmholtz_matrix",
     "helmholtz_operator",
+    "poisson3d_apply",
+    "poisson3d_matrix",
+    "poisson3d_operator",
+    "poisson3d_spectral_bounds",
+    "poisson3d_multigrid_preconditioner",
     "BSRMatrix",
     "COOMatrix",
     "CSRMatrix",

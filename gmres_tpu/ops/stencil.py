@@ -74,6 +74,39 @@ def stencil_5pt_apply(x: jnp.ndarray) -> jnp.ndarray:
     return stencil_5pt_general(x, 4.0, -1.0, -1.0, -1.0, -1.0)
 
 
+def _shift3(x: jnp.ndarray, d0: int, axis: int) -> jnp.ndarray:
+    """Single-axis shift with zero fill (3-D analogue of _shift's
+    roll+mask — same reason: roll keeps the sharded dimension size, so
+    a sharded axis lowers to a collective-permute halo exchange)."""
+    if d0 == 0:
+        return x
+    y = jnp.roll(x, d0, axis=axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, y.shape, axis)
+    if d0 > 0:
+        return jnp.where(idx >= d0, y, 0)
+    return jnp.where(idx < y.shape[axis] + d0, y, 0)
+
+
+def stencil_7pt_general(x: jnp.ndarray, center: float,
+                        off: float = -1.0) -> jnp.ndarray:
+    """3-D 7-point stencil y = center·x + off·(sum of 6 face
+    neighbors), zero outside the grid. No reference counterpart (the
+    reference is 2-D only, src/problems/poisson.f90); exists because
+    every solver here is shape-agnostic — a 3-D operator is just
+    another pytree vector."""
+    s = (
+        _shift3(x, 1, 0) + _shift3(x, -1, 0)
+        + _shift3(x, 1, 1) + _shift3(x, -1, 1)
+        + _shift3(x, 1, 2) + _shift3(x, -1, 2)
+    )
+    return center * x + off * s
+
+
+def stencil_7pt_apply(x: jnp.ndarray) -> jnp.ndarray:
+    """3-D Laplacian special case: y = 6x − Σ face neighbors."""
+    return stencil_7pt_general(x, 6.0)
+
+
 def stencil_5pt_halo(
     x: jnp.ndarray,
     top: jnp.ndarray,

@@ -697,6 +697,133 @@ def helmholtz_shifted_laplacian_preconditioner(
     return m_inv
 
 
+def restrict_sum3d(x: jnp.ndarray) -> jnp.ndarray:
+    """(2m,)³ → (m,)³ by 2×2×2 block sum × 1/2. The ½ is the 3-D
+    consistency factor: the h²-scaled operator gains (2h)²/h² = 4 per
+    coarsening while a block holds 2³ = 8 cells, so sum-restriction
+    must carry 4/8 (in 2-D the two factors coincide and the 2-D
+    ``restrict_sum`` is a plain sum). Strided slices, not reshape —
+    same XLA pathology as 2-D (restrict_sum docstring)."""
+    y = x[0::2] + x[1::2]
+    y = y[:, 0::2] + y[:, 1::2]
+    return 0.5 * (y[:, :, 0::2] + y[:, :, 1::2])
+
+
+def prolong_repeat3d(x: jnp.ndarray) -> jnp.ndarray:
+    """(m,)³ → (2m,)³ by replication — adjoint of restrict_sum3d up to
+    the positive factor already absorbed there (cycle symmetry is
+    preserved under a scalar factor on the coarse correction)."""
+    return jnp.repeat(
+        jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1), 2, axis=2
+    )
+
+
+def poisson3d_multigrid_preconditioner(
+    nsize: int,
+    levels: int | None = None,
+    pre_smooth: int = 3,
+    post_smooth: int = 3,
+    coarse_order: int = 32,
+    smooth_band: float = 4.0,
+    mesh=None,
+    replicate_below: int | None = None,
+) -> Callable:
+    """V-cycle preconditioner for the 3-D 7-point Poisson stencil
+    (models/poisson3d.py). Same design as the 2-D cycle — per-level
+    Chebyshev smoothing on the upper spectrum [λmax/band, λmax] with
+    λmax = 12, closed-form coarse λmin, adjoint transfers — with the
+    3-D transfer scaling (restrict_sum3d docstring). jnp-only: the
+    stencil's axis rolls shard/fuse under XLA; no 3-D Pallas kernel
+    yet (the 2-D kernels' trapezoidal tiling does not carry over
+    directly).
+
+    No reference counterpart (2-D only, src/problems/poisson.f90)."""
+    import math
+
+    from gmres_tpu.ops.stencil import stencil_7pt_apply
+
+    if levels is None:
+        levels = 1
+        n = nsize
+        while n % 2 == 0 and n > 8:
+            n //= 2
+            levels += 1
+    sizes = [nsize // (2 ** l) for l in range(levels)]
+    for l, n in enumerate(sizes):
+        if l > 0 and sizes[l - 1] != 2 * n:
+            raise ValueError(
+                f"nsize={nsize} not divisible by 2**{levels - 1}"
+            )
+    lam_max = 12.0
+    lam_min_coarse = 6.0 * (1.0 - math.cos(math.pi / (sizes[-1] + 1)))
+
+    replicate_from = levels
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if replicate_below is None:
+            replicate_below = 8 * int(mesh.devices.size)
+        for l, sz in enumerate(sizes):
+            if sz < replicate_below:
+                replicate_from = l
+                break
+        repl = NamedSharding(mesh, PartitionSpec())
+
+        def pin(x):
+            return jax.lax.with_sharding_constraint(x, repl)
+    else:
+        def pin(x):
+            return x
+
+    def apply_l(x, l):
+        if l >= replicate_from:
+            return pin(stencil_7pt_apply(pin(x)))
+        return stencil_7pt_apply(x)
+
+    smoother_at = {
+        l: chebyshev_preconditioner(
+            (lambda x, l=l: apply_l(x, l)),
+            lam_max / smooth_band, lam_max,
+            order=max(pre_smooth, 1), reference_form=False,
+        )
+        for l in range(levels)
+    }
+    post_at = {
+        l: chebyshev_preconditioner(
+            (lambda x, l=l: apply_l(x, l)),
+            lam_max / smooth_band, lam_max,
+            order=max(post_smooth, 1), reference_form=False,
+        )
+        for l in range(levels)
+    }
+    coarse_at = chebyshev_preconditioner(
+        (lambda x: apply_l(x, levels - 1)),
+        lam_min_coarse, lam_max, order=coarse_order,
+        reference_form=False,
+    )
+
+    def v_cycle(r, l):
+        if l == replicate_from:
+            r = pin(r)
+        if l == levels - 1:
+            return coarse_at(r)
+        e = smoother_at[l](r)
+        rc = restrict_sum3d(r - apply_l(e, l))
+        e = e + prolong_repeat3d(v_cycle(rc, l + 1))
+        return e + post_at[l](r - apply_l(e, l))
+
+    def m_inv(r: jnp.ndarray) -> jnp.ndarray:
+        return v_cycle(r, 0)
+
+    per_level = (max(pre_smooth, 1) - 1) + (max(post_smooth, 1) - 1) + 2
+    m_inv.fine_equiv_sweeps = sum(
+        per_level * 0.125 ** l for l in range(levels - 1)
+    ) + (coarse_order - 1) * 0.125 ** (levels - 1)
+    m_inv.levels = levels
+    return m_inv
+
+
 def csl_multigrid_preconditioner(
     nsize: int,
     kh2: float,
