@@ -45,6 +45,7 @@ from gmres_tpu.types import (
 from gmres_tpu.solvers.cg import cg
 from gmres_tpu.solvers.bicgstab import bicgstab
 from gmres_tpu.solvers.bicgstabl import bicgstabl
+from gmres_tpu.solvers.tfqmr import tfqmr
 from gmres_tpu.solvers.gmres import gmres
 from gmres_tpu.solvers.minres import minres
 from gmres_tpu.solvers.sstep import sstep_gmres
@@ -114,6 +115,7 @@ __all__ = [
     "cg",
     "bicgstab",
     "bicgstabl",
+    "tfqmr",
     "gmres",
     "minres",
     "fgmres",
