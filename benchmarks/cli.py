@@ -693,6 +693,33 @@ def cmd_scale(args):
     )
 
     records = []
+    if getattr(args, "dim", 2) == 3:
+        # 3-D arm (models/poisson3d.py): MG-preconditioned f64 CG —
+        # the 7-pt stencil + 3-D cycle are jnp-only, so CG's
+        # certified absolute-tol loop is the honest production config.
+        from gmres_tpu.precond.multigrid import (
+            poisson3d_multigrid_preconditioner,
+        )
+
+        for n in (int(s) for s in args.grids.split(",")):
+            op = gt.poisson3d_operator(n)
+            m_inv = poisson3d_multigrid_preconditioner(n)
+            b = op(jnp.ones((n, n, n), dtype=jnp.float64))
+            fn = jax.jit(
+                lambda bb, o=op, mi=m_inv: gt.cg(
+                    o, bb, tol=args.tol, max_iterations=400, M=mi,
+                )
+            )
+            res, dt = _timed(fn, b)
+            records.append(
+                record_from_result(
+                    f"cg-mg3d-{n}^3", res, wall_s=dt, tol=args.tol,
+                    nnz=7 * n ** 3 - 6 * n * n,
+                    extra={"dim": 3, "true_certified": True},
+                )
+            )
+        _emit(records, args)
+        return
     for n in (int(s) for s in args.grids.split(",")):
         op = gt.poisson_operator(n)
         m_inv = poisson_multigrid_preconditioner(n)
@@ -969,7 +996,7 @@ def build_parser() -> argparse.ArgumentParser:
         restart=50, tol=1e-12, max_restarts=1000, max_devices=0,
         explicit_halo=False, precond="mg")
     add("scale", cmd_scale, grids="300,600,1200,2048,4096", restart=10,
-        tol=1e-8)
+        tol=1e-8, dim=2)
     add("restart-sweep", cmd_restart_sweep, nsize=280, start=20, step=5,
         ntests=10, tol=1e-15, max_restarts=1000, cycle_reps=0,
         repeats=5, solver="gmres", aug=3, deflate=10)

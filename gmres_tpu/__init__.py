@@ -51,6 +51,7 @@ from gmres_tpu.solvers.minres import minres
 from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
 from gmres_tpu.solvers.lobpcg import lobpcg
+from gmres_tpu.solvers.chebyshev import chebyshev_solve
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
 from gmres_tpu.precond.multigrid import (
     convection_diffusion_multigrid_preconditioner,
@@ -126,6 +127,7 @@ __all__ = [
     "lanczos_bounds",
     "power_iteration_bound",
     "lobpcg",
+    "chebyshev_solve",
     "chebyshev_preconditioner",
     "poisson_multigrid_preconditioner",
     "convection_diffusion_multigrid_preconditioner",

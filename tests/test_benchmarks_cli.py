@@ -61,6 +61,7 @@ from benchmarks.cli import main
         ["spmv", "--nsize", "32", "--reps", "2"],
         ["roofline", "--grids", "32", "--reps", "2"],
         ["scale", "--grids", "16,32", "--restart", "8", "--tol", "1e-8"],
+        ["scale", "--grids", "16,32", "--tol", "1e-8", "--dim", "3"],
     ],
 )
 def test_cli_smoke(argv, capsys):
