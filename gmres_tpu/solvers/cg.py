@@ -83,7 +83,12 @@ def cg(
     p = z
 
     dtype = jnp.result_type(*jax.tree.leaves(b))
-    history = jnp.zeros((max_iterations,), dtype=dtype)
+    # Norms/coefficients are REAL even for complex Hermitian A/M
+    # ((r, Mr) and (p, Ap) are exactly real; jnp.real keeps the real
+    # DTYPE out of comparisons — conjugation itself lives in
+    # tree_vdot). Real dtypes are untouched.
+    rdtype = jnp.finfo(dtype).dtype
+    history = jnp.zeros((max_iterations,), dtype=rdtype)
 
     def cond(state):
         i, _, _, _, _, res, status = state
@@ -94,7 +99,7 @@ def cg(
         ap = A(p)
         # One fused all-reduce for rr=(r,z) and pAp=(Ap,p)
         # (cg.f90:197-202 fused reduction).
-        rr, pap = batched_vdot([(r, z), (ap, p)])
+        rr, pap = jnp.real(batched_vdot([(r, z), (ap, p)]))
         alpha = rr / pap
         x = tree_axpy(alpha, p, x)
         r = tree_axpy(-alpha, ap, r)
@@ -102,7 +107,7 @@ def cg(
         # res and (r,z) in ONE fused reduction — the reference keeps
         # them separate (cg.f90:205-221); independent sums, so
         # iteration counts are unchanged.
-        res_sq, rz_new = batched_vdot([(r, r), (r, z_new)])
+        res_sq, rz_new = jnp.real(batched_vdot([(r, r), (r, z_new)]))
         res = jnp.sqrt(res_sq)
         beta = rz_new / rr
         p = tree_axpy(beta, p, z_new)
@@ -114,7 +119,7 @@ def cg(
         )
         return (i + 1, x, r, z_new, p, res, status)
 
-    res0 = jnp.asarray(jnp.sqrt(tree_vdot(r, r)), dtype=dtype)
+    res0 = jnp.asarray(jnp.sqrt(jnp.real(tree_vdot(r, r))), dtype=rdtype)
     # Already converged at x0 (e.g. b = 0): skip the loop entirely —
     # the reference would divide 0/0 here (cg.f90:200 alpha = rr/pAp).
     status0 = jnp.where(
@@ -154,7 +159,7 @@ def cg(
     # re-verification downgrades to BREAKDOWN; the true norm is
     # reported.
     r_true = tree_sub(b, A(x))
-    true_res = jnp.sqrt(tree_vdot(r_true, r_true))
+    true_res = jnp.sqrt(jnp.real(tree_vdot(r_true, r_true)))
     status = jnp.where(
         (status == SolverStatus.CONVERGED) & (true_res >= tol),
         jnp.int32(SolverStatus.BREAKDOWN),
@@ -208,10 +213,13 @@ def _pipelined_cg(
     w = A(u)
 
     dtype = jnp.result_type(*jax.tree.leaves(b))
-    history = jnp.zeros((max_iterations,), dtype=dtype)
+    rdtype = jnp.finfo(dtype).dtype  # see classic cg: real scalars
+    history = jnp.zeros((max_iterations,), dtype=rdtype)
     zeros = tree_zeros_like(b)
 
-    gamma0, delta0, rr0 = batched_vdot([(r, u), (w, u), (r, r)])
+    gamma0, delta0, rr0 = jnp.real(
+        batched_vdot([(r, u), (w, u), (r, r)])
+    )
     res0 = jnp.sqrt(rr0)
     status0 = jnp.where(
         res0 < tol,
@@ -244,7 +252,9 @@ def _pipelined_cg(
         r = tree_axpy(-alpha, s, r)
         u = tree_axpy(-alpha, q, u)
         w = tree_axpy(-alpha, z, w)
-        gamma_new, delta_new, rr = batched_vdot([(r, u), (w, u), (r, r)])
+        gamma_new, delta_new, rr = jnp.real(
+            batched_vdot([(r, u), (w, u), (r, r)])
+        )
         res = jnp.sqrt(rr)
         hist = hist.at[i].set(res)
         status = jnp.where(
@@ -260,7 +270,7 @@ def _pipelined_cg(
 
     carry = (
         jnp.int32(0), x, r, u, w, zeros, zeros, zeros, zeros,
-        gamma0, delta0, jnp.ones((), dtype), jnp.ones((), dtype),
+        gamma0, delta0, jnp.ones((), rdtype), jnp.ones((), rdtype),
         status0, history,
     )
     (i, x, r, u, w, *_, status, history) = jax.lax.while_loop(
@@ -271,7 +281,7 @@ def _pipelined_cg(
     # recurrences drift even sooner — that is the known cost of the
     # Ghysels-Vanroose reformulation).
     r_true = tree_sub(b, A(x))
-    true_res = jnp.sqrt(tree_vdot(r_true, r_true))
+    true_res = jnp.sqrt(jnp.real(tree_vdot(r_true, r_true)))
     status = jnp.where(
         (status == SolverStatus.CONVERGED) & (true_res >= tol),
         jnp.int32(SolverStatus.BREAKDOWN),

@@ -71,13 +71,15 @@ def minres(
     M: Optional[Preconditioner] = None,
     x0: Optional[Any] = None,
 ) -> SolveResult:
-    """Solve A x = b (A symmetric, definite or not) by (preconditioned)
-    MINRES.
+    """Solve A x = b (A symmetric/Hermitian, definite or not) by
+    (preconditioned) MINRES.
 
-    A is a callable over pytree vectors and must be symmetric; M, if
-    given, must be SPD (it defines the inner product of the Lanczos
-    process). Starts from zeros like every solver here (cg.f90:27)
-    unless x0 is given.
+    A is a callable over pytree vectors and must be symmetric (real)
+    or Hermitian (complex — every Lanczos/Givens scalar is then still
+    exactly real, so the same loop serves both); M, if given, must be
+    SPD/HPD (it defines the inner product of the Lanczos process).
+    Starts from zeros like every solver here (cg.f90:27) unless x0 is
+    given.
     """
     if x0 is None:
         x = tree_zeros_like(b)
@@ -88,12 +90,17 @@ def minres(
 
     z = M(r1) if M is not None else r1
     dtype = jnp.result_type(*jax.tree.leaves(b))
-    beta1_sq = tree_vdot(r1, z)
+    # Every Lanczos/Givens scalar is REAL even for complex HERMITIAN
+    # A/M ((r, Mr) and (v, Av) are exactly real; jnp.real keeps the
+    # complex dtype out of the rotations and comparisons, conjugation
+    # lives in tree_vdot). Real dtypes are untouched.
+    rdtype = jnp.finfo(dtype).dtype
+    beta1_sq = jnp.real(tree_vdot(r1, z))
     # beta1² = (r, Mr) < 0 ⇔ M is not positive definite on r — an
     # invalid preconditioner; surfaces as NaN → BREAKDOWN below.
     beta1 = jnp.sqrt(beta1_sq)
 
-    history = jnp.zeros((max_iterations,), dtype=dtype)
+    history = jnp.zeros((max_iterations,), dtype=rdtype)
     zeros = tree_zeros_like(b)
 
     status0 = jnp.where(
@@ -102,7 +109,7 @@ def minres(
         jnp.int32(SolverStatus.MAX_ITERATIONS),
     )
 
-    eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype) ** 0.5
+    eps = jnp.asarray(jnp.finfo(dtype).tiny, rdtype) ** 0.5
 
     def cond(carry):
         i = carry[0]
@@ -119,12 +126,12 @@ def minres(
         y = A(v)
         first = i == 0
         y = tree_axpy(jnp.where(first, 0.0, -beta / oldb), r1, y)
-        alfa = tree_vdot(v, y)  # reduction point 1
+        alfa = jnp.real(tree_vdot(v, y))  # reduction point 1
         y = tree_axpy(-alfa / beta, r2, y)
         r1_n, r2_n = r2, y
         z_n = M(y) if M is not None else y
         oldb_n = beta
-        beta_sq = tree_vdot(r2_n, z_n)  # reduction point 2
+        beta_sq = jnp.real(tree_vdot(r2_n, z_n))  # reduction point 2
         beta_n = jnp.sqrt(beta_sq)
 
         # Running Givens QR of the tridiagonal (Paige-Saunders): apply
@@ -166,8 +173,8 @@ def minres(
         return (i + 1, x, r1_n, r2_n, z_n, w2, w, beta_n, oldb_n,
                 dbar_n, epsln_n, phibar_n, cs_n, sn_n, status, hist)
 
-    one = jnp.asarray(1.0, dtype)
-    zero = jnp.asarray(0.0, dtype)
+    one = jnp.asarray(1.0, rdtype)
+    zero = jnp.asarray(0.0, rdtype)
     carry = (
         jnp.int32(0), x, r1, r1, z, zeros, zeros,
         beta1, one, zero, zero, beta1,
@@ -180,7 +187,7 @@ def minres(
     # module docstring): one extra A (+M) application.
     r_true = tree_sub(b, A(x))
     z_true = M(r_true) if M is not None else r_true
-    true_res = jnp.sqrt(tree_vdot(r_true, z_true))
+    true_res = jnp.sqrt(jnp.real(tree_vdot(r_true, z_true)))
     status = jnp.where(
         (status == SolverStatus.CONVERGED) & (true_res >= tol),
         jnp.int32(SolverStatus.BREAKDOWN),

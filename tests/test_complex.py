@@ -122,3 +122,41 @@ def test_complex_sharded_parity():
     )(shard_grid_vector(b, mesh))
     assert bool(sh.converged)
     assert abs(int(base.restarts) - int(sh.restarts)) <= 1
+
+
+def test_cg_complex_hermitian():
+    """Complex HPD system: CG's scalars are exactly real ((r, Mr),
+    (p, Ap) Hermitian forms); the conjugating tree_vdot makes the same
+    loop complex-capable."""
+    rng = np.random.default_rng(9)
+    d = 40
+    bmat = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    a = bmat.conj().T @ bmat + 2.0 * np.eye(d)  # HPD
+    rhs = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    aj = jnp.asarray(a)
+    for variant in ("classic", "pipelined"):
+        res = gt.cg(lambda v: aj @ v, jnp.asarray(rhs), tol=1e-10,
+                    max_iterations=500, variant=variant)
+        assert bool(res.converged)
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.linalg.solve(a, rhs), atol=1e-8
+        )
+        assert res.residual_history.dtype == jnp.float64
+
+
+def test_minres_complex_hermitian_indefinite():
+    """Complex Hermitian INDEFINITE system — the full MINRES regime in
+    complex arithmetic (all Lanczos/Givens scalars stay real)."""
+    rng = np.random.default_rng(11)
+    d = 40
+    h = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    h = 0.5 * (h + h.conj().T)  # Hermitian, indefinite (random spectrum)
+    assert np.linalg.eigvalsh(h).min() < 0 < np.linalg.eigvalsh(h).max()
+    rhs = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    hj = jnp.asarray(h)
+    res = gt.minres(lambda v: hj @ v, jnp.asarray(rhs), tol=1e-9,
+                    max_iterations=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(h, rhs), atol=1e-7
+    )
