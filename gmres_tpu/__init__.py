@@ -52,6 +52,7 @@ from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
 from gmres_tpu.solvers.lobpcg import lobpcg
 from gmres_tpu.solvers.chebyshev import chebyshev_solve
+from gmres_tpu.solvers.lsqr import lsqr
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
 from gmres_tpu.precond.multigrid import (
     convection_diffusion_multigrid_preconditioner,
@@ -128,6 +129,7 @@ __all__ = [
     "power_iteration_bound",
     "lobpcg",
     "chebyshev_solve",
+    "lsqr",
     "chebyshev_preconditioner",
     "poisson_multigrid_preconditioner",
     "convection_diffusion_multigrid_preconditioner",
