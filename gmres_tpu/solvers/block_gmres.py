@@ -63,8 +63,10 @@ def _svqb(w, eps):
     """
     s = w.shape[0]
     flat = w.reshape(s, -1)
-    g = flat @ flat.T
-    d = jnp.sqrt(jnp.maximum(jnp.diagonal(g), 0.0))
+    # Hermitian Gram (conj elided on the real dtypes block_gmres uses;
+    # makes the same whitening serve complex blocks — solvers/lobpcg.py).
+    g = jnp.conj(flat) @ flat.T
+    d = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(g)), 0.0))
     dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
     gs = g * dinv[:, None] * dinv[None, :]
     lam, u = jnp.linalg.eigh(gs)

@@ -51,7 +51,7 @@ def _rows_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(p, *shape) × (q, *shape) → (p, q) Gram block: one matmul over
     the flattened (possibly sharded) long axis, one all-reduce."""
     return jnp.tensordot(
-        a.reshape(a.shape[0], -1), b.reshape(b.shape[0], -1),
+        jnp.conj(a.reshape(a.shape[0], -1)), b.reshape(b.shape[0], -1),
         axes=(1, 1),
     )
 
@@ -69,7 +69,9 @@ def lobpcg(
     max_iterations: int = 200,
     M: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> EigResult:
-    """Compute the k smallest eigenpairs of the SPD operator A.
+    """Compute the k smallest eigenpairs of the SPD (real) or HPD
+    (complex Hermitian — every Gram/Ritz quantity stays
+    Hermitian/real through the conjugating reductions) operator A.
 
     A acts on a single vector (same contract as the solvers); it is
     vmapped over the block internally. X0 is the (k, *shape) initial
@@ -92,7 +94,9 @@ def lobpcg(
     def fill_degenerate(v, i, salt):
         """Replace rows with norm below √eps·(max row norm) by
         deterministic pseudo-random directions (fresh per iteration)."""
-        norms = jnp.sqrt(jnp.sum(v.reshape(v.shape[0], -1) ** 2, axis=1))
+        norms = jnp.sqrt(
+            jnp.sum(jnp.abs(v.reshape(v.shape[0], -1)) ** 2, axis=1)
+        )
         floor = jnp.sqrt(eps) * jnp.maximum(jnp.max(norms), 1.0)
         key = jax.random.fold_in(jax.random.fold_in(base_key, i), salt)
         noise = jax.random.normal(key, v.shape, dtype)
@@ -107,17 +111,20 @@ def lobpcg(
         q, _ = _orthonormalize_block(s, eps)
         aq = a_block(q)
         h = _rows_dot(q, aq)
-        lam_all, c = jnp.linalg.eigh(0.5 * (h + h.T))
+        lam_all, c = jnp.linalg.eigh(0.5 * (h + jnp.conj(h.T)))
         ck = c[:, :k]
         x = _combine(ck, q)
         ax = _combine(ck, aq)
         lam = lam_all[:k]
         r = ax - lam.reshape((-1,) + (1,) * (x.ndim - 1)) * x
-        resnorm = jnp.sqrt(jnp.sum(r.reshape(k, -1) ** 2, axis=1))
+        resnorm = jnp.sqrt(
+            jnp.sum(jnp.abs(r.reshape(k, -1)) ** 2, axis=1)
+        )
         # A Ritz vector that lost unit norm (possible only if clamped
         # SVQB zeroed a fully dependent direction) must not pass the
         # convergence test on its trivially-small residual.
-        xnorm = jnp.sqrt(jnp.sum(x.reshape(k, -1) ** 2, axis=1))
+        xnorm = jnp.sqrt(jnp.sum(jnp.abs(x.reshape(k, -1)) ** 2,
+                                 axis=1))
         resnorm = jnp.where(
             jnp.abs(xnorm - 1.0) < 0.5, resnorm, jnp.inf
         )

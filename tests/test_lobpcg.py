@@ -124,3 +124,28 @@ def test_sharded_parity():
         np.asarray(sh.eigenvalues), np.asarray(base.eigenvalues),
         rtol=1e-9,
     )
+
+
+def test_complex_hermitian_eigenpairs():
+    """Complex HPD operator: the conjugate-correct Gram/SVQB path
+    computes the same smallest eigenpairs numpy's eigh does
+    (preconditioned with A⁻¹ so the test budget stays small; tol 1e-6
+    because the LAST pair's residual floor sits near 1e-7 without
+    guard vectors — the eigenvalues themselves land at 1e-14)."""
+    rng = np.random.default_rng(7)
+    d, k = 50, 3
+    bmat = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    a = bmat.conj().T @ bmat + np.eye(d)
+    aj = jnp.asarray(a)
+    a_inv = jnp.asarray(np.linalg.inv(a))
+    X0 = jnp.asarray(rng.standard_normal((k, d))
+                     + 1j * rng.standard_normal((k, d)))
+    res = gt.lobpcg(lambda v: aj @ v, X0, tol=1e-6, max_iterations=60,
+                    M=lambda v: a_inv @ v)
+    assert bool(res.converged)
+    w, v = np.linalg.eigh(a)
+    np.testing.assert_allclose(np.asarray(res.eigenvalues), w[:k],
+                               rtol=1e-9)
+    for i in range(k):
+        xi = np.asarray(res.x[i])
+        assert abs(abs(np.vdot(v[:, i], xi)) - 1.0) < 1e-6
