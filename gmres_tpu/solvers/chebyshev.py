@@ -30,7 +30,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.blas import tree_axpy, tree_sub, tree_vdot, \
+from gmres_tpu.ops.blas import tree_axpy, tree_norm, tree_sub, \
     tree_zeros_like
 from gmres_tpu.precond.chebyshev import (
     chebyshev_preconditioner,
@@ -82,8 +82,9 @@ def chebyshev_solve(
         r = tree_sub(b, A(x0))
 
     dtype = jnp.result_type(*jax.tree.leaves(b))
-    history = jnp.zeros((max_cycles,), dtype=dtype)
-    res0 = jnp.sqrt(tree_vdot(r, r))
+    rdtype = jnp.finfo(dtype).dtype  # real norms/history (house rule)
+    history = jnp.zeros((max_cycles,), dtype=rdtype)
+    res0 = tree_norm(r)
     status0 = jnp.where(
         res0 < tol,
         jnp.int32(SolverStatus.CONVERGED),
@@ -99,7 +100,7 @@ def chebyshev_solve(
         x = tree_axpy(1.0, p_k(r), x)
         r = tree_sub(b, A(x))
         # The cycle's ONLY reduction: the true-residual check.
-        res = jnp.sqrt(tree_vdot(r, r))
+        res = tree_norm(r)
         hist = hist.at[i].set(res)
         status = jnp.where(
             res < tol, jnp.int32(SolverStatus.CONVERGED), status

@@ -92,12 +92,18 @@ def lobpcg(
     base_key = jax.random.PRNGKey(0)
 
     def fill_degenerate(v, i, salt):
-        """Replace rows with norm below √eps·(max row norm) by
-        deterministic pseudo-random directions (fresh per iteration)."""
+        """Replace rows with norm √eps below the BLOCK's largest row
+        norm by deterministic pseudo-random directions (fresh per
+        iteration). Relative to the block itself: near convergence the
+        whole preconditioned-residual block is legitimately tiny and
+        must be kept as search directions — an absolute floor would
+        noise-replace every row and stall the solve in the
+        [√eps·scale, tol] window. An all-zero block (max = 0) is fully
+        replaced."""
         norms = jnp.sqrt(
             jnp.sum(jnp.abs(v.reshape(v.shape[0], -1)) ** 2, axis=1)
         )
-        floor = jnp.sqrt(eps) * jnp.maximum(jnp.max(norms), 1.0)
+        floor = jnp.sqrt(eps) * jnp.max(norms)
         key = jax.random.fold_in(jax.random.fold_in(base_key, i), salt)
         noise = jax.random.normal(key, v.shape, dtype)
         keep = norms > floor
@@ -122,11 +128,16 @@ def lobpcg(
         )
         # A Ritz vector that lost unit norm (possible only if clamped
         # SVQB zeroed a fully dependent direction) must not pass the
-        # convergence test on its trivially-small residual.
+        # convergence test on its trivially-small residual. LARGE
+        # FINITE sentinel, not inf: the body's isfinite guard is for
+        # genuine NaN breakdowns — a transient rank deficiency is
+        # recoverable (the next iteration's fill_degenerate +
+        # clamped SVQB repair the basis) and must keep iterating.
+        big = jnp.sqrt(jnp.finfo(resnorm.dtype).max)
         xnorm = jnp.sqrt(jnp.sum(jnp.abs(x.reshape(k, -1)) ** 2,
                                  axis=1))
         resnorm = jnp.where(
-            jnp.abs(xnorm - 1.0) < 0.5, resnorm, jnp.inf
+            jnp.abs(xnorm - 1.0) < 0.5, resnorm, big
         )
         return lam, x, r, resnorm
 

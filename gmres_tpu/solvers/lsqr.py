@@ -35,12 +35,8 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.blas import tree_vdot, tree_zeros_like
+from gmres_tpu.ops.blas import tree_norm, tree_zeros_like
 from gmres_tpu.types import SolveResult, SolverStatus
-
-
-def _norm(v):
-    return jnp.sqrt(jnp.real(tree_vdot(v, v)))
 
 
 def lsqr(
@@ -88,7 +84,7 @@ def lsqr(
     tiny = jnp.finfo(rdtype).tiny
 
     def normalize(v):
-        n = _norm(v)
+        n = tree_norm(v)
         safe = jnp.where(n > 0, n, jnp.ones_like(n))
         return jax.tree.map(lambda x: x / safe, v), n
 
@@ -114,7 +110,8 @@ def lsqr(
         return (i < max_iterations) & (status == SolverStatus.MAX_ITERATIONS)
 
     def body(carry):
-        (i, x, u, v, w, alfa, beta, phibar, rhobar, status, hist) = carry
+        (i, x, u, v, w, alfa, beta, phibar, rhobar, res2_sq, status,
+         hist) = carry
         # Golub-Kahan step: β u ← A v − α u ; α v ← Aᴴ u − β v.
         au = A(v)
         u_new = jax.tree.map(lambda a, b_: a - alfa * b_, au, u)
@@ -127,6 +124,15 @@ def lsqr(
         # then the subdiagonal β via the standard rotation.
         rhobar1 = jnp.hypot(rhobar, dampr)
         c1 = rhobar / jnp.maximum(rhobar1, tiny)
+        s1 = dampr / jnp.maximum(rhobar1, tiny)
+        # ψ is the residual component the damping rotation moves into
+        # the regularization rows — it stays in the AUGMENTED residual
+        # ‖(b − Ax; damp·x)‖ permanently (Paige-Saunders eqn 4.10);
+        # dropping it would make |phibar| alone decay by c1 < 1 every
+        # step regardless of actual progress and trip the stop test
+        # prematurely. Zero when damp = 0.
+        psi = s1 * phibar
+        res2_sq = res2_sq + psi * psi
         phibar1 = c1 * phibar
         rho = jnp.hypot(rhobar1, beta_n)
         c = rhobar1 / jnp.maximum(rho, tiny)
@@ -143,8 +149,9 @@ def lsqr(
 
         # |·|: the recurrence carries phibar SIGNED (the sign lives in
         # c1 = ρ̄/ρ̄₁ and must propagate into phi), the estimates are
-        # magnitudes.
-        res_est = jnp.abs(phibar_n)  # ‖r‖ (exact in exact arithmetic)
+        # magnitudes. With damp > 0 this is the AUGMENTED residual
+        # ‖(b − Ax; damp·x)‖ (= ‖b − Ax‖ exactly when damp = 0).
+        res_est = jnp.sqrt(phibar_n * phibar_n + res2_sq)
         arnorm = jnp.abs(phibar_n * alfa_n * c)  # ‖Aᴴr‖ estimate
         hist = hist.at[i].set(res_est)
         status = jnp.where(
@@ -159,22 +166,22 @@ def lsqr(
             status,
         )
         return (i + 1, x, u_new, v_new, w, alfa_n, beta_n, phibar_n,
-                rhobar_n, status, hist)
+                rhobar_n, res2_sq, status, hist)
 
     carry0 = (jnp.int32(0), x, u, v, w, alfa, beta, phibar, rhobar,
-              status0, history)
+              jnp.zeros((), rdtype), status0, history)
     (i, x, *_, status, history) = jax.lax.while_loop(cond, body, carry0)
 
     # Certify both stopping quantities from the true residual.
     r_true = jax.tree.map(
         lambda bb, aa: bb - aa, b, A(x)
     )
-    res_true = _norm(r_true)
+    res_true = tree_norm(r_true)
     # Gradient of ½‖Ax−b‖² + ½damp²‖x‖²: Aᴴr − damp²x = 0 at optimum.
     grad = jax.tree.map(
         lambda g, xx: g - dampr * dampr * xx, AH(r_true), x
     )
-    lsq_ok = (res_true < tol) | (_norm(grad) < atol)
+    lsq_ok = (res_true < tol) | (tree_norm(grad) < atol)
     status = jnp.where(
         (status == SolverStatus.CONVERGED) & ~lsq_ok,
         jnp.int32(SolverStatus.BREAKDOWN),

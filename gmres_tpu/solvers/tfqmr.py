@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from gmres_tpu.ops.blas import (
     batched_vdot,
     tree_axpy,
-    tree_scale,
+    tree_norm,
     tree_sub,
     tree_vdot,
     tree_zeros_like,
@@ -81,7 +81,7 @@ def tfqmr(
 
     mu1_0 = m_apply(r)
     v0 = A(mu1_0)
-    tau0 = jnp.sqrt(jnp.real(tree_vdot(r, r)))
+    tau0 = tree_norm(r)
     rho0 = tree_vdot(r0, r)
     zeros = tree_zeros_like(b)
 
@@ -121,7 +121,7 @@ def tfqmr(
                                 jnp.ones_like(sigma))
         u2 = tree_axpy(-alpha, v, u1)
         w = tree_axpy(-alpha, au1, w)
-        wnorm = jnp.sqrt(jnp.real(tree_vdot(w, w)))
+        wnorm = tree_norm(w)
         x, d_m, tau, theta, eta = half_update(
             wnorm, tau, theta, eta, alpha, d_m, mu1, x
         )
@@ -173,7 +173,7 @@ def tfqmr(
     # Certify the true residual (one extra matvec); downgrade a lying
     # CONVERGED to BREAKDOWN.
     r_true = tree_sub(b, A(x))
-    true_res = jnp.sqrt(jnp.real(tree_vdot(r_true, r_true)))
+    true_res = tree_norm(r_true)
     status = jnp.where(
         (status == SolverStatus.CONVERGED) & (true_res >= tol),
         jnp.int32(SolverStatus.BREAKDOWN),

@@ -149,3 +149,19 @@ def test_complex_hermitian_eigenpairs():
     for i in range(k):
         xi = np.asarray(res.x[i])
         assert abs(abs(np.vdot(v[:, i], xi)) - 1.0) < 1e-6
+
+
+def test_deep_tolerance_below_sqrt_eps():
+    """Regression: the degenerate-row floor must be RELATIVE to the
+    block (an absolute √eps floor noise-replaced every residual
+    direction once the block got small, stalling any tol below
+    ~1.5e-8)."""
+    d, k = 60, 3
+    rng = np.random.default_rng(2)
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lam = np.linspace(0.5, 40.0, d)
+    a = jnp.asarray((q * lam) @ q.T)
+    X0 = jnp.asarray(rng.standard_normal((k, d)))
+    res = gt.lobpcg(lambda v: a @ v, X0, tol=5e-12, max_iterations=800)
+    assert bool(res.converged)
+    assert float(jnp.max(res.residuals)) < 5e-12

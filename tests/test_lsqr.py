@@ -112,3 +112,21 @@ def test_sharded_parity():
     )(shard_grid_vector(b, mesh))
     assert bool(sh.converged)
     assert abs(int(base.iterations) - int(sh.iterations)) <= 2
+
+
+def test_heavy_damping_regression():
+    """Regression: the damping rotation's eliminated component ψ must
+    accumulate into the residual estimate — without it, |phibar| decays
+    by c₁ ≪ 1 per step for damp ≫ σ(A) and the loop stopped
+    prematurely (returned BREAKDOWN after certification)."""
+    rng = np.random.default_rng(5)
+    m, n, damp = 60, 25, 50.0
+    a = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    aj = jnp.asarray(a)
+    res = gt.lsqr(lambda v: aj @ v, jnp.asarray(b),
+                  x_like=jnp.zeros(n), tol=1e-14, atol=1e-10,
+                  max_iterations=500, damp=damp)
+    assert bool(res.converged)
+    x_ridge = np.linalg.solve(a.T @ a + damp ** 2 * np.eye(n), a.T @ b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ridge, atol=1e-12)
