@@ -54,6 +54,7 @@ from gmres_tpu.solvers.lobpcg import lobpcg
 from gmres_tpu.solvers.chebyshev import chebyshev_solve
 from gmres_tpu.solvers.lsqr import lsqr
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+from gmres_tpu.precond.polynomial import gmres_polynomial_preconditioner
 from gmres_tpu.precond.multigrid import (
     convection_diffusion_multigrid_preconditioner,
     csl_multigrid_preconditioner,
@@ -131,6 +132,7 @@ __all__ = [
     "chebyshev_solve",
     "lsqr",
     "chebyshev_preconditioner",
+    "gmres_polynomial_preconditioner",
     "poisson_multigrid_preconditioner",
     "convection_diffusion_multigrid_preconditioner",
     "helmholtz_shifted_laplacian_preconditioner",
