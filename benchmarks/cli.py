@@ -264,6 +264,12 @@ def cmd_convdiff(args):
                 else None
             ),
         )
+    elif args.precond == "poly":
+        # Reduction-free nonsymmetric polynomial (precond/polynomial.py)
+        # — the latency-lever alternative to the V-cycle on meshes.
+        m_inv = gt.gmres_polynomial_preconditioner(
+            op, b, degree=args.poly_degree
+        )
     if args.solver == "gmres":
         # GMRES's residual comes from the projected least-squares (and
         # certify="true" re-verifies in f64) — the reliable choice when
@@ -985,7 +991,8 @@ def build_parser() -> argparse.ArgumentParser:
         max_iterations=10_000)
     add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
         tol=1e-9, max_iterations=10_000, precond="none",
-        solver="bicgstab", precision="f64", smoother="jacobi", ell=2)
+        solver="bicgstab", precision="f64", smoother="jacobi", ell=2,
+        poly_degree=24)
     add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
         tol=1e-9, max_iterations=50_000, precond="mg", solver="minres",
         precision="f64", smooth_order=3, damping=0.0)

@@ -27,6 +27,8 @@ from benchmarks.cli import main
          "mg", "--precision", "mixed"],
         ["convdiff", "--nsize", "16", "--tol", "1e-8", "--precond",
          "mg", "--solver", "gmres", "--precision", "mixed"],
+        ["convdiff", "--nsize", "32", "--tol", "1e-8", "--precond",
+         "poly", "--solver", "gmres", "--poly-degree", "16"],
         ["eig", "--nsize", "32", "--k", "3", "--tol", "1e-6"],
         ["eig", "--nsize", "32", "--k", "3", "--tol", "1e-6",
          "--precond", "none", "--max-iterations", "400"],
