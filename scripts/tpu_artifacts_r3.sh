@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 TPU artifact batch for the new capabilities. Run on a healthy
+# axon tunnel; each subcommand writes its JSONL only at the END (a
+# timeout loses the run — CLAUDE.md rule 11), and a fresh process's
+# first row can take 6-10 minutes (cold dispatch + remote compiles).
+set -x
+cd "$(dirname "$0")/.."
+
+# Symmetric-indefinite flagship: MINRES + SPD shifted-Laplacian at scale
+timeout 3000 python -m benchmarks.cli helmholtz --nsize 1024 \
+  --kh2-factor 10 --tol 1e-9 --jsonl artifacts/helmholtz_tpu.jsonl
+timeout 1800 python -m benchmarks.cli helmholtz --nsize 1024 \
+  --kh2-factor 10 --tol 1e-9 --precision mixed \
+  --jsonl artifacts/helmholtz_tpu.jsonl
+# Complex CSL route (wave-resolution kh2)
+timeout 1800 python -m benchmarks.cli helmholtz --nsize 512 \
+  --kh2 0.25 --tol 1e-8 --precond csl \
+  --jsonl artifacts/helmholtz_tpu.jsonl
+
+# Eigensolver: k smallest Poisson pairs, MG-preconditioned LOBPCG
+timeout 1800 python -m benchmarks.cli eig --nsize 1024 --k 4 \
+  --tol 1e-8 --jsonl artifacts/eig_tpu.jsonl
+
+# 3-D scale sweep (MG-CG on the 7-point stencil)
+timeout 3000 python -m benchmarks.cli scale --dim 3 \
+  --grids 64,128,256 --tol 1e-8 --jsonl artifacts/scale3d_tpu.jsonl
+
+# Reduction-free polynomial preconditioner on convdiff (TPU row)
+timeout 1800 python -m benchmarks.cli convdiff --nsize 256 \
+  --tol 1e-9 --precond poly --solver gmres --poly-degree 24 \
+  --jsonl artifacts/convdiff_tpu.jsonl
