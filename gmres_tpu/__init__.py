@@ -46,6 +46,7 @@ from gmres_tpu.solvers.cg import cg
 from gmres_tpu.solvers.bicgstab import bicgstab
 from gmres_tpu.solvers.bicgstabl import bicgstabl
 from gmres_tpu.solvers.tfqmr import tfqmr
+from gmres_tpu.solvers.idrs import idrs
 from gmres_tpu.solvers.gmres import gmres
 from gmres_tpu.solvers.minres import minres
 from gmres_tpu.solvers.sstep import sstep_gmres
@@ -119,6 +120,7 @@ __all__ = [
     "bicgstab",
     "bicgstabl",
     "tfqmr",
+    "idrs",
     "gmres",
     "minres",
     "fgmres",
