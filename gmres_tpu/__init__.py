@@ -40,6 +40,7 @@ from gmres_tpu.types import (
     SolveResult,
     GmresResult,
     EigResult,
+    NewtonResult,
     SolverStatus,
 )
 from gmres_tpu.solvers.cg import cg
@@ -87,6 +88,8 @@ from gmres_tpu.models.poisson3d import (
     poisson3d_operator,
     poisson3d_spectral_bounds,
 )
+from gmres_tpu.models.bratu import bratu_residual
+from gmres_tpu.solvers.newton_krylov import newton_krylov
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
 from gmres_tpu.solvers.gmres_dr import gmres_dr
@@ -115,6 +118,7 @@ __all__ = [
     "SolveResult",
     "GmresResult",
     "EigResult",
+    "NewtonResult",
     "SolverStatus",
     "cg",
     "bicgstab",
@@ -133,6 +137,8 @@ __all__ = [
     "lobpcg",
     "chebyshev_solve",
     "lsqr",
+    "newton_krylov",
+    "bratu_residual",
     "chebyshev_preconditioner",
     "gmres_polynomial_preconditioner",
     "poisson_multigrid_preconditioner",

@@ -145,6 +145,43 @@ class EigResult:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class NewtonResult:
+    """Result of a Jacobian-free Newton-Krylov solve
+    (solvers/newton_krylov.py).
+
+    No reference counterpart — the reference is linear-solves-only
+    (src/interfaces.f90:12-28 has no nonlinear contract); JFNK exists
+    here because JAX's ``jax.linearize`` gives the exact Jacobian
+    action J(x)·v of any traceable residual for free, which a Fortran
+    library must approximate by finite differences.
+
+    Attributes:
+      x: solution with ‖F(x)‖₂ ≤ tol (on CONVERGED).
+      iterations: Newton steps performed (int32).
+      residual: final ‖F(x)‖₂ — always the freshly evaluated nonlinear
+        residual at the returned x (no recurrence to certify).
+      status: SolverStatus int32; BREAKDOWN = the Armijo line search
+        could not find a decreasing step (stagnation / NaN).
+      residual_history: per-Newton-step ‖F‖₂, length = max_newton,
+        padded with the final value.
+      inner_iterations: total linear (GMRES) inner iterations summed
+        over all Newton steps — the matvec ≈ J·v application count.
+    """
+
+    x: Any
+    iterations: jnp.ndarray
+    residual: jnp.ndarray
+    status: jnp.ndarray
+    residual_history: jnp.ndarray
+    inner_iterations: jnp.ndarray
+
+    @property
+    def converged(self) -> jnp.ndarray:
+        return self.status == SolverStatus.CONVERGED
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class BlockSolveResult:
     """Result of a block (multi-RHS) solve.
 
