@@ -326,6 +326,46 @@ def cmd_convdiff(args):
     )
 
 
+def cmd_bratu(args):
+    """Nonlinear driver: JFNK (solvers/newton_krylov.py) on the 2-D
+    Bratu problem (models/bratu.py) with the frozen Poisson-MG
+    Jacobian preconditioner. No reference analogue (the reference is
+    linear-only); the whole Newton/GMRES/line-search program is one
+    dispatch, so the wall time is an honest single-solve number even
+    over the axon tunnel."""
+    n = args.nsize
+    F = gt.bratu_residual(n, args.lam)
+    m_inv = (
+        gt.poisson_multigrid_preconditioner(n)
+        if args.precond == "mg" else None
+    )
+    mixed = args.precision == "mixed"
+    fn = jax.jit(
+        lambda u0: gt.newton_krylov(
+            F, u0, tol=args.tol, M=m_inv,
+            inner_dtype=jnp.float32 if mixed else None,
+            max_newton=args.max_newton,
+        )
+    )
+    res, dt = _timed(fn, jnp.zeros((n, n)))
+    _emit(
+        [
+            record_from_result(
+                f"jfnk-bratu-{n}x{n}", res, wall_s=dt, tol=args.tol,
+                nnz=5 * n * n - 4 * n,
+                extra={
+                    "lam": args.lam,
+                    "newton_steps": int(res.iterations),
+                    "inner_iterations": int(res.inner_iterations),
+                    "precision": args.precision,
+                    "precond": args.precond,
+                },
+            )
+        ],
+        args,
+    )
+
+
 def cmd_helmholtz(args):
     """Symmetric-indefinite Helmholtz solve (models/helmholtz.py):
     MINRES (or GMRES for comparison), optionally with the SPD
@@ -993,6 +1033,8 @@ def build_parser() -> argparse.ArgumentParser:
         tol=1e-9, max_iterations=10_000, precond="none",
         solver="bicgstab", precision="f64", smoother="jacobi", ell=2,
         poly_degree=24)
+    add("bratu", cmd_bratu, nsize=256, lam=5.0, tol=1e-10,
+        max_newton=30, precond="mg", precision="f64")
     add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
         tol=1e-9, max_iterations=50_000, precond="mg", solver="minres",
         precision="f64", smooth_order=3, damping=0.0)

@@ -25,6 +25,12 @@ timeout 1800 python -m benchmarks.cli eig --nsize 1024 --k 4 \
 timeout 3000 python -m benchmarks.cli scale --dim 3 \
   --grids 64,128,256 --tol 1e-8 --jsonl artifacts/scale3d_tpu.jsonl
 
+# Nonlinear flagship: JFNK Bratu at scale (f64 + mixed inner)
+timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
+  --tol 1e-9 --jsonl artifacts/bratu_tpu.jsonl
+timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
+  --tol 1e-9 --precision mixed --jsonl artifacts/bratu_tpu.jsonl
+
 # Reduction-free polynomial preconditioner on convdiff (TPU row)
 timeout 1800 python -m benchmarks.cli convdiff --nsize 256 \
   --tol 1e-9 --precond poly --solver gmres --poly-degree 24 \

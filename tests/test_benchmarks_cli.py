@@ -32,6 +32,9 @@ from benchmarks.cli import main
         ["eig", "--nsize", "32", "--k", "3", "--tol", "1e-6"],
         ["eig", "--nsize", "32", "--k", "3", "--tol", "1e-6",
          "--precond", "none", "--max-iterations", "400"],
+        ["bratu", "--nsize", "24", "--lam", "5.0", "--tol", "1e-10"],
+        ["bratu", "--nsize", "32", "--lam", "5.0", "--tol", "1e-9",
+         "--precision", "mixed"],
         ["helmholtz", "--nsize", "32", "--tol", "1e-8"],
         ["helmholtz", "--nsize", "32", "--tol", "1e-8", "--precond",
          "none", "--solver", "gmres"],
