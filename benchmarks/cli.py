@@ -469,13 +469,68 @@ def cmd_helmholtz(args):
 
 
 def cmd_eig(args):
-    """k smallest Poisson eigenpairs by (MG-preconditioned) LOBPCG,
-    validated against the closed-form Dirichlet spectrum — the C10
-    capability as a driver (the reference README claims estimation it
-    never implemented, README.md:11)."""
+    """Eigenpair drivers — the C10 capability (the reference README
+    claims estimation it never implemented, README.md:11):
+    --method lobpcg (default): k smallest Poisson pairs by
+    MG-preconditioned LOBPCG vs the closed-form Dirichlet spectrum.
+    --method arnoldi: k largest-modulus pairs of the NONSYMMETRIC
+    convection-diffusion operator by Krylov-Schur, vs the closed-form
+    complex tensor spectrum (convection-dominated for γx > 1)."""
     import math
 
     n, k = args.nsize, args.k
+    if args.method == "arnoldi":
+        from gmres_tpu.models.convection_diffusion import (
+            convection_diffusion_eigenvalues,
+        )
+
+        op = gt.convection_diffusion_operator(
+            n, args.gamma_x, args.gamma_y
+        )
+        probe = jax.random.normal(
+            jax.random.PRNGKey(0), (n, n), dtype=jnp.float64
+        )
+        fn = jax.jit(
+            lambda p: gt.arnoldi_eigs(
+                op, p, nev=k, steps=args.steps, which="LM",
+                tol=args.tol, max_restarts=args.max_iterations,
+            )
+        )
+        res, dt = _timed(fn, probe)
+        got = np.asarray(res.eigenvalues)
+        exact = convection_diffusion_eigenvalues(
+            n, args.gamma_x, args.gamma_y
+        )
+        exact = exact[np.argsort(-np.abs(exact))][:k]
+        # conjugate-pair sign freedom: compare as multisets via a
+        # (real, |imag|) lexicographic key
+        def keyed(v):
+            return np.sort_complex(v.real + 1j * np.abs(v.imag))
+
+        err = np.abs(keyed(got) - keyed(exact))
+        rec = RunRecord(
+            name=f"krylovschur-convdiff-{n}x{n}",
+            nvars=n * n,
+            iterations=int(res.iterations),
+            tol=args.tol,
+            residual=float(np.max(np.asarray(res.residuals))),
+            l2_error=float(np.linalg.norm(err)),
+            linf_error=float(np.max(err)),
+            wall_s=dt,
+            nnz=5 * n * n - 4 * n,
+            extra={
+                "k": k,
+                "which": "LM",
+                "steps": args.steps,
+                "gamma": [args.gamma_x, args.gamma_y],
+                "eigenvalues": [
+                    [float(v.real), float(v.imag)] for v in got
+                ],
+                "converged": bool(res.converged),
+            },
+        )
+        _emit([rec], args)
+        return
     op = gt.poisson_operator(n)
     m_inv = (gt.poisson_multigrid_preconditioner(n)
              if args.precond == "mg" else None)
@@ -1053,7 +1108,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("roofline", cmd_roofline, grids="1024,2048,4096", reps=20,
         cheb_order=8)
     add("eig", cmd_eig, nsize=256, k=4, tol=1e-8,
-        max_iterations=200, precond="mg")
+        max_iterations=200, precond="mg", method="lobpcg",
+        gamma_x=2.0, gamma_y=0.5, steps=40)
     return p
 
 

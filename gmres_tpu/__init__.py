@@ -89,6 +89,7 @@ from gmres_tpu.models.poisson3d import (
     poisson3d_spectral_bounds,
 )
 from gmres_tpu.models.bratu import bratu_residual
+from gmres_tpu.solvers.arnoldi import arnoldi_eigs
 from gmres_tpu.solvers.newton_krylov import newton_krylov
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
@@ -139,6 +140,7 @@ __all__ = [
     "lsqr",
     "newton_krylov",
     "bratu_residual",
+    "arnoldi_eigs",
     "chebyshev_preconditioner",
     "gmres_polynomial_preconditioner",
     "poisson_multigrid_preconditioner",

@@ -91,3 +91,26 @@ def convection_diffusion_matrix(
         + cn * jnp.eye(nsize, k=1, dtype=dtype)
     )
     return jnp.kron(eye, kx) + jnp.kron(ky, eye)
+
+
+def convection_diffusion_eigenvalues(
+    nsize: int, gamma_x: float = 0.4, gamma_y: float = 0.2
+):
+    """Closed-form spectrum (NumPy, host-side) of the central-difference
+    operator: the tensor structure gives
+
+        λ(i, j) = 4 − 2√(1−γx²)·cos(iπh) − 2√(1−γy²)·cos(jπh)
+
+    with h = 1/(nsize+1); for |γ| > 1 the square root is imaginary and
+    the spectrum is complex (convection-dominated regime). Used as the
+    eigensolver oracle (benchmarks/cli.py `eig --method arnoldi`,
+    tests/test_arnoldi_eigs.py) — an (n²,) complex array."""
+    import numpy as np
+
+    h = np.pi / (nsize + 1)
+    sx = np.emath.sqrt(1.0 - gamma_x * gamma_x)
+    sy = np.emath.sqrt(1.0 - gamma_y * gamma_y)
+    i = np.arange(1, nsize + 1)
+    lx = 2.0 - 2.0 * sx * np.cos(i * h)
+    ly = 2.0 - 2.0 * sy * np.cos(i * h)
+    return (lx[:, None] + ly[None, :]).ravel()

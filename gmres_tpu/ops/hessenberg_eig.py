@@ -253,6 +253,189 @@ def hessenberg_eigvals(h: jnp.ndarray, *, max_sweeps: int | None = None):
 
 
 # ----------------------------------------------------------------------
+# Schur decomposition (QR iteration with accumulated Q) + reordering
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("max_sweeps",))
+def hessenberg_schur(h: jnp.ndarray, *, max_sweeps: int | None = None):
+    """Complex Schur form H = Q T Qᴴ of an upper-Hessenberg matrix.
+
+    Same shifted-QR engine as :func:`hessenberg_eigvals`, additionally
+    accumulating the unitary similarity: each sweep's left rotations L
+    give T ← L T Lᴴ, so Q ← Q Lᴴ (one extra O(m²) Givens scan per
+    sweep). Returns (t, q, ok): t upper triangular with the eigenvalues
+    on the diagonal (unordered), q unitary, ok bool (sweep budget
+    sufficed). Needed by Krylov-Schur restarting (solvers/arnoldi.py),
+    where the WANTED invariant subspace — not just eigenvalues — must
+    survive the restart truncation.
+    """
+    m = h.shape[0]
+    cdtype = _complex_dtype(h.dtype)
+    a = h.astype(cdtype)
+    idx = jnp.arange(m)
+    a = jnp.where(idx[:, None] > idx[None, :] + 1, 0.0, a)
+    q0 = jnp.eye(m, dtype=cdtype)
+    if m == 1:
+        return a, q0, jnp.array(True)
+    eps = _real_eps(cdtype)
+    fro = jnp.sqrt(jnp.sum(jnp.abs(a) ** 2))
+    floor = eps * jnp.maximum(fro, jnp.asarray(1.0, fro.dtype))
+    if max_sweeps is None:
+        max_sweeps = 30 * m
+
+    def small_sub(a, p):
+        return jnp.abs(a[p, p - 1]) <= (
+            eps * (jnp.abs(a[p - 1, p - 1]) + jnp.abs(a[p, p])) + floor
+        )
+
+    def deflate(state):
+        a, p = state
+
+        def cond(st):
+            a, p = st
+            return (p > 0) & small_sub(a, p)
+
+        def body(st):
+            a, p = st
+            return a.at[p, p - 1].set(0.0), p - 1
+
+        return jax.lax.while_loop(cond, body, (a, p))
+
+    def cond(state):
+        a, q, p, it, stall = state
+        return (p > 0) & (it < max_sweeps)
+
+    def body(state):
+        a, q, p, it, stall = state
+        a, p = deflate((a, p))
+
+        def sweep(args):
+            a, q, p, stall = args
+            mu = _wilkinson_shift(a, p)
+            mu = jnp.where(
+                stall >= 8,
+                a[p, p] + 0.75 * jnp.abs(a[p, p - 1]).astype(cdtype),
+                mu,
+            )
+            stall = jnp.where(stall >= 8, 0, stall)
+            b = a - mu * jnp.eye(m, dtype=cdtype)
+            r, rots, _ = _left_sweep(b, p)
+            b = _right_sweep(r, rots)
+            return (b + mu * jnp.eye(m, dtype=cdtype),
+                    _right_sweep(q, rots), stall + 1)
+
+        def skip(args):
+            a, q, _, stall = args
+            return a, q, stall
+
+        a, q, stall = jax.lax.cond(p > 0, sweep, skip, (a, q, p, stall))
+        return a, q, p, it + 1, stall
+
+    a, q, p, _, _ = jax.lax.while_loop(
+        cond, body, (a, q0, jnp.int32(m - 1), jnp.int32(0),
+                     jnp.int32(0))
+    )
+    a, p = deflate((a, p))
+    # Scrub the strictly-lower triangle (converged ⇒ roundoff only).
+    t = jnp.where(idx[:, None] > idx[None, :], 0.0, a)
+    return t, q, p == 0
+
+
+def schur_sort(t: jnp.ndarray, q: jnp.ndarray, key: jnp.ndarray):
+    """Reorder a complex Schur form so diagonal entries appear in
+    ascending `key` order (key: (m,) real, computed by the caller from
+    diag(t) BEFORE the call — e.g. -|λ| for largest-modulus-first).
+
+    Bubble-sort network of adjacent swaps (LAPACK ztrexc-style): to
+    swap the block [[a, c],[0, d]], rotate with the unitary G whose
+    first column is the block's unit eigenvector [c, d−a] for d; then
+    Gᴴ·block·G = [[d, c'],[0, a]]. Each swap updates two rows, two
+    columns, q's two columns, and the key pair — all fixed-shape
+    dynamic slices inside a scan of m(m−1)/2 steps; keys ride along so
+    the network needs no re-sorting passes.
+    """
+    m = t.shape[0]
+    if m == 1:
+        return t, q
+    cdtype = t.dtype
+
+    def swap_at(args, j):
+        t, q, key = args
+        a = t[j, j]
+        c = t[j, j + 1]
+        d = t[j + 1, j + 1]
+        do = key[j] > key[j + 1]
+        y1, y2 = c, d - a
+        nrm = jnp.sqrt(jnp.abs(y1) ** 2 + jnp.abs(y2) ** 2)
+        # Degenerate (already decoupled & equal): identity rotation.
+        ok = do & (nrm > 0)
+        nsafe = jnp.where(nrm > 0, nrm, 1.0)
+        g11 = jnp.where(ok, y1 / nsafe, 1.0).astype(cdtype)
+        g21 = jnp.where(ok, y2 / nsafe, 0.0).astype(cdtype)
+        # G = [[g11, -conj(g21)], [g21, conj(g11)]]
+        # rows j, j+1: T ← Gᴴ T
+        rows = jax.lax.dynamic_slice(t, (j, 0), (2, m))
+        r0 = jnp.conj(g11) * rows[0] + jnp.conj(g21) * rows[1]
+        r1 = -g21 * rows[0] + g11 * rows[1]
+        t = jax.lax.dynamic_update_slice(t, jnp.stack([r0, r1]), (j, 0))
+        # cols j, j+1: T ← T G, Q ← Q G
+        cols = jax.lax.dynamic_slice(t, (0, j), (m, 2))
+        c0 = cols[:, 0] * g11 + cols[:, 1] * g21
+        c1 = -cols[:, 0] * jnp.conj(g21) + cols[:, 1] * jnp.conj(g11)
+        t = jax.lax.dynamic_update_slice(
+            t, jnp.stack([c0, c1], axis=1), (0, j)
+        )
+        qc = jax.lax.dynamic_slice(q, (0, j), (m, 2))
+        q0c = qc[:, 0] * g11 + qc[:, 1] * g21
+        q1c = -qc[:, 0] * jnp.conj(g21) + qc[:, 1] * jnp.conj(g11)
+        q = jax.lax.dynamic_update_slice(
+            q, jnp.stack([q0c, q1c], axis=1), (0, j)
+        )
+        # scrub the subdiagonal the swap zeroed analytically
+        t = t.at[j + 1, j].set(jnp.zeros((), cdtype))
+        kj, kj1 = key[j], key[j + 1]
+        key = key.at[j].set(jnp.where(do, kj1, kj))
+        key = key.at[j + 1].set(jnp.where(do, kj, kj1))
+        return (t, q, key), None
+
+    js = jnp.concatenate(
+        [jnp.arange(m - 1 - s) for s in range(m - 1)]
+    )
+    (t, q, _), _ = jax.lax.scan(swap_at, (t, q, key), js)
+    return t, q
+
+
+def schur_eigvec(t: jnp.ndarray, i: jnp.ndarray):
+    """Unit eigenvector of upper-triangular T for its i-th diagonal
+    eigenvalue (traced index): solve (T − t_ii I) y = 0 with y_i = 1,
+    y_j = 0 for j > i, by masked back-substitution — fixed shapes, no
+    inverse iteration."""
+    m = t.shape[0]
+    cdtype = t.dtype
+    lam = t[i, i]
+    idx = jnp.arange(m)
+    eps = _real_eps(cdtype)
+    scale = jnp.sqrt(jnp.sum(jnp.abs(t) ** 2)) + 1.0
+
+    def body(y, jr):
+        j = m - 1 - jr  # j runs m-1 .. 0
+        rhs = -jnp.sum(jnp.where(idx > j, t[j] * y, 0.0))
+        den = t[j, j] - lam
+        # Perturb near-singular pivots (clustered eigenvalues) the
+        # LAPACK ztrevc way, relative to the matrix scale.
+        small = jnp.abs(den) < eps * scale
+        den = jnp.where(small, (eps * scale).astype(cdtype), den)
+        yj = jnp.where(j == i, jnp.ones((), cdtype),
+                       jnp.where(j > i, jnp.zeros((), cdtype),
+                                 rhs / den))
+        return y.at[j].set(yj), None
+
+    y0 = jnp.zeros((m,), cdtype)
+    y, _ = jax.lax.scan(body, y0, jnp.arange(m))
+    n = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2))
+    return y / jnp.where(n > 0, n, 1.0)
+
+
+# ----------------------------------------------------------------------
 # Shifted Hessenberg solve + inverse iteration
 # ----------------------------------------------------------------------
 def hessenberg_shifted_solve(h, lam, rhs):

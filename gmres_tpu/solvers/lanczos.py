@@ -121,30 +121,25 @@ def power_iteration_bound(
     return jnp.abs(tree_vdot(v, A(v)) / tree_vdot(v, v))
 
 
-def arnoldi_hessenberg(
+def arnoldi_expand(
     A: LinearOperator,
-    probe: jnp.ndarray,
-    steps: int = 20,
-) -> jnp.ndarray:
-    """k-step Arnoldi factorization A·V_k ≈ V_{k+1}·H — the
-    NONSYMMETRIC extension of :func:`lanczos_bounds`, estimating the
-    spectrum/field of values of operators like convection-diffusion
-    where Lanczos' three-term recurrence does not apply.
-
-    CGS2 orthogonalization over a fixed (steps+1, …) basis buffer with
-    masked contractions (one pass = ONE all-reduce under sharding, same
-    design as the cgs2 GMRES variant, solvers/gmres.py) inside a
-    ``lax.fori_loop`` — jit-friendly, deterministic. Returns the full
-    (steps+1, steps) Hessenberg; breakdown (invariant subspace) leaves
-    a zero subdiagonal, which the eigensolver handles naturally.
-    """
-    dtype = probe.dtype
-    nrm = jnp.sqrt(tree_vdot(probe, probe))
-    v0 = probe / jnp.where(nrm > 0, nrm, 1.0)
-    basis = jnp.zeros((steps + 1,) + probe.shape, dtype=dtype)
-    basis = basis.at[0].set(v0)
-    hmat = jnp.zeros((steps + 1, steps), dtype=dtype)
-    axes = tuple(range(1, probe.ndim + 1))
+    basis: jnp.ndarray,
+    hmat: jnp.ndarray,
+    start: int,
+):
+    """Continue an Arnoldi(-like) factorization from column `start`:
+    rows [0, start] of `basis` must already be orthonormal and columns
+    [0, start) of `hmat` filled; columns [start, steps) are computed by
+    CGS2 over the FULL masked buffer (one fused all-reduce per pass
+    under sharding). With start=0 this is plain Arnoldi; a Krylov-Schur
+    restart (solvers/arnoldi.py) passes the truncated Schur basis plus
+    its residual direction at row `start` — the spike row the
+    truncation leaves in `hmat` is untouched, only new columns are
+    written."""
+    steps = hmat.shape[1]
+    dtype = basis.dtype
+    axes = tuple(range(1, basis.ndim))
+    vdim = basis.ndim - 1
 
     def body(j, carry):
         basis, hmat = carry
@@ -153,8 +148,9 @@ def arnoldi_hessenberg(
         mask = (jnp.arange(steps + 1) <= j).astype(dtype)
 
         def cgs_pass(w):
+            # conj for complex bases (identity for real): h = ⟨vᵢ, w⟩
             h = jnp.tensordot(
-                basis, w, axes=(axes, tuple(range(probe.ndim)))
+                jnp.conj(basis), w, axes=(axes, tuple(range(vdim)))
             ) * mask
             return h, w - jnp.tensordot(h, basis, axes=(0, 0))
 
@@ -170,7 +166,47 @@ def arnoldi_hessenberg(
         )
         return basis, hmat
 
-    _, hmat = jax.lax.fori_loop(0, steps, body, (basis, hmat))
+    return jax.lax.fori_loop(start, steps, body, (basis, hmat))
+
+
+def arnoldi_factorization(
+    A: LinearOperator,
+    probe: jnp.ndarray,
+    steps: int = 20,
+):
+    """k-step Arnoldi factorization A·V_k = V_{k+1}·H̄: returns
+    (basis, hmat) with basis (steps+1, *shape) orthonormal and hmat the
+    (steps+1, steps) Hessenberg. Shared core of
+    :func:`arnoldi_hessenberg` (spectral estimation) and
+    :func:`gmres_tpu.solvers.arnoldi.arnoldi_eigs` (Ritz eigenpairs,
+    which needs the basis to reconstruct eigenvectors)."""
+    dtype = probe.dtype
+    nrm = jnp.sqrt(tree_vdot(probe, probe))
+    v0 = probe / jnp.where(nrm > 0, nrm, 1.0)
+    basis = jnp.zeros((steps + 1,) + probe.shape, dtype=dtype)
+    basis = basis.at[0].set(v0)
+    hmat = jnp.zeros((steps + 1, steps), dtype=dtype)
+    return arnoldi_expand(A, basis, hmat, 0)
+
+
+def arnoldi_hessenberg(
+    A: LinearOperator,
+    probe: jnp.ndarray,
+    steps: int = 20,
+) -> jnp.ndarray:
+    """k-step Arnoldi Hessenberg A·V_k ≈ V_{k+1}·H — the NONSYMMETRIC
+    extension of :func:`lanczos_bounds`, estimating the spectrum/field
+    of values of operators like convection-diffusion where Lanczos'
+    three-term recurrence does not apply.
+
+    CGS2 orthogonalization over a fixed (steps+1, …) basis buffer with
+    masked contractions (one pass = ONE all-reduce under sharding, same
+    design as the cgs2 GMRES variant, solvers/gmres.py) inside a
+    ``lax.fori_loop`` — jit-friendly, deterministic. Returns the full
+    (steps+1, steps) Hessenberg; breakdown (invariant subspace) leaves
+    a zero subdiagonal, which the eigensolver handles naturally.
+    """
+    _, hmat = arnoldi_factorization(A, probe, steps)
     return hmat
 
 

@@ -20,6 +20,9 @@ timeout 1800 python -m benchmarks.cli helmholtz --nsize 512 \
 # Eigensolver: k smallest Poisson pairs, MG-preconditioned LOBPCG
 timeout 1800 python -m benchmarks.cli eig --nsize 1024 --k 4 \
   --tol 1e-8 --jsonl artifacts/eig_tpu.jsonl
+# Nonsymmetric eigenpairs: Krylov-Schur on convection-dominated convdiff
+timeout 1800 python -m benchmarks.cli eig --method arnoldi --nsize 512 \
+  --k 4 --steps 40 --tol 1e-8 --jsonl artifacts/eig_tpu.jsonl
 
 # 3-D scale sweep (MG-CG on the 7-point stencil)
 timeout 3000 python -m benchmarks.cli scale --dim 3 \

@@ -30,6 +30,9 @@ from benchmarks.cli import main
         ["convdiff", "--nsize", "32", "--tol", "1e-8", "--precond",
          "poly", "--solver", "gmres", "--poly-degree", "16"],
         ["eig", "--nsize", "32", "--k", "3", "--tol", "1e-6"],
+        ["eig", "--nsize", "16", "--k", "4", "--tol", "1e-8",
+         "--method", "arnoldi", "--steps", "20",
+         "--max-iterations", "200"],
         ["eig", "--nsize", "32", "--k", "3", "--tol", "1e-6",
          "--precond", "none", "--max-iterations", "400"],
         ["bratu", "--nsize", "24", "--lam", "5.0", "--tol", "1e-10"],
