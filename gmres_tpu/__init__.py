@@ -90,6 +90,7 @@ from gmres_tpu.models.poisson3d import (
 )
 from gmres_tpu.models.bratu import bratu_residual
 from gmres_tpu.solvers.arnoldi import arnoldi_eigs
+from gmres_tpu.solvers.implicit import implicit_solve
 from gmres_tpu.solvers.newton_krylov import newton_krylov
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
@@ -141,6 +142,7 @@ __all__ = [
     "newton_krylov",
     "bratu_residual",
     "arnoldi_eigs",
+    "implicit_solve",
     "chebyshev_preconditioner",
     "gmres_polynomial_preconditioner",
     "poisson_multigrid_preconditioner",
