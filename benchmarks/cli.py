@@ -572,6 +572,50 @@ def cmd_eig(args):
     _emit([rec], args)
 
 
+def cmd_sequence(args):
+    """Krylov-recycling driver (solvers/gcrodr.py): a frequency sweep
+    of indefinite Helmholtz systems — the sequence-of-systems workload
+    (no reference analogue; one isolated solve per program there).
+    Rows per frequency: plain GMRES (stagnates on the indefinite
+    outliers), GCRO-DR fresh, GCRO-DR warm-started from the previous
+    frequency's recycle space."""
+    n = args.nsize
+    lam_min = gt.helmholtz_lambda_min(n)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, n)))
+    facs = [float(v) for v in args.kh2_factors.split(",")]
+    recs = []
+    recycle = None
+    for fac in facs:
+        kh2 = fac * lam_min
+        op = gt.helmholtz_operator(n, kh2)
+
+        def run(name, fn):
+            res, dt = _timed(fn, b)
+            recs.append(record_from_result(
+                f"{name}-helmholtz-{n}x{n}", res, wall_s=dt,
+                tol=args.tol, nnz=5 * n * n - 4 * n,
+                extra={"kh2_factor": fac, "k": args.k,
+                       "restart": args.restart},
+            ))
+            return res
+
+        if args.with_gmres:
+            run("gmres", jax.jit(lambda bb, op=op: gt.gmres(
+                op, bb, restart=args.restart, tol=args.tol,
+                max_restarts=args.max_restarts,
+                compute_v_err=False)))
+        run("gcrodr-fresh", jax.jit(lambda bb, op=op: gt.gcrodr(
+            op, bb, k=args.k, restart=args.restart, tol=args.tol,
+            max_restarts=args.max_restarts)))
+        warm = run("gcrodr-warm", jax.jit(
+            lambda bb, op=op, rec=recycle: gt.gcrodr(
+                op, bb, k=args.k, restart=args.restart, tol=args.tol,
+                max_restarts=args.max_restarts, recycle=rec)))
+        recycle = warm.recycle
+    _emit(recs, args)
+
+
 def cmd_roofline(args):
     """DESIGN.md §1's cost model as measured data: achieved HBM
     bandwidth (slope-timed chains — per-dispatch tunnel latency cancels,
@@ -1110,6 +1154,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("eig", cmd_eig, nsize=256, k=4, tol=1e-8,
         max_iterations=200, precond="mg", method="lobpcg",
         gamma_x=2.0, gamma_y=0.5, steps=40)
+    add("sequence", cmd_sequence, nsize=128, k=10, restart=40,
+        tol=1e-8, max_restarts=400, kh2_factors="10.0,10.5,11.0",
+        with_gmres=False)
     return p
 
 

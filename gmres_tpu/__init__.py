@@ -91,6 +91,7 @@ from gmres_tpu.models.poisson3d import (
 from gmres_tpu.models.bratu import bratu_residual
 from gmres_tpu.solvers.arnoldi import arnoldi_eigs
 from gmres_tpu.solvers.implicit import implicit_solve
+from gmres_tpu.solvers.gcrodr import gcrodr
 from gmres_tpu.solvers.newton_krylov import newton_krylov
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
@@ -143,6 +144,7 @@ __all__ = [
     "bratu_residual",
     "arnoldi_eigs",
     "implicit_solve",
+    "gcrodr",
     "chebyshev_preconditioner",
     "gmres_polynomial_preconditioner",
     "poisson_multigrid_preconditioner",

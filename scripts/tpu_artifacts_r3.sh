@@ -28,6 +28,11 @@ timeout 1800 python -m benchmarks.cli eig --method arnoldi --nsize 512 \
 timeout 3000 python -m benchmarks.cli scale --dim 3 \
   --grids 64,128,256 --tol 1e-8 --jsonl artifacts/scale3d_tpu.jsonl
 
+# Krylov recycling: Helmholtz frequency sweep, GMRES-stagnation class
+timeout 2400 python -m benchmarks.cli sequence --nsize 256 --k 10 \
+  --restart 40 --tol 1e-8 --kh2-factors 10.0,10.5,11.0 --with-gmres \
+  --max-restarts 400 --jsonl artifacts/sequence_tpu.jsonl
+
 # Nonlinear flagship: JFNK Bratu at scale (f64 + mixed inner)
 timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
   --tol 1e-9 --jsonl artifacts/bratu_tpu.jsonl

@@ -36,6 +36,9 @@ from benchmarks.cli import main
         ["eig", "--nsize", "32", "--k", "3", "--tol", "1e-6",
          "--precond", "none", "--max-iterations", "400"],
         ["bratu", "--nsize", "24", "--lam", "5.0", "--tol", "1e-10"],
+        ["sequence", "--nsize", "24", "--k", "5", "--restart", "16",
+         "--tol", "1e-8", "--kh2-factors", "10.0,10.5",
+         "--max-restarts", "300", "--with-gmres"],
         ["bratu", "--nsize", "32", "--lam", "5.0", "--tol", "1e-9",
          "--precision", "mixed"],
         ["helmholtz", "--nsize", "32", "--tol", "1e-8"],
