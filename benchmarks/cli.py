@@ -343,6 +343,7 @@ def cmd_bratu(args):
     fn = jax.jit(
         lambda u0: gt.newton_krylov(
             F, u0, tol=args.tol, M=m_inv,
+            inner=args.inner,
             inner_dtype=jnp.float32 if mixed else None,
             max_newton=args.max_newton,
         )
@@ -357,6 +358,7 @@ def cmd_bratu(args):
                     "lam": args.lam,
                     "newton_steps": int(res.iterations),
                     "inner_iterations": int(res.inner_iterations),
+                    "inner": args.inner,
                     "precision": args.precision,
                     "precond": args.precond,
                 },
@@ -1133,7 +1135,7 @@ def build_parser() -> argparse.ArgumentParser:
         solver="bicgstab", precision="f64", smoother="jacobi", ell=2,
         poly_degree=24)
     add("bratu", cmd_bratu, nsize=256, lam=5.0, tol=1e-10,
-        max_newton=30, precond="mg", precision="f64")
+        max_newton=30, precond="mg", precision="f64", inner="gmres")
     add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
         tol=1e-9, max_iterations=50_000, precond="mg", solver="minres",
         precision="f64", smooth_order=3, damping=0.0)

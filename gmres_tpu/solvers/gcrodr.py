@@ -136,7 +136,11 @@ def gcrodr(
       max_restarts: cycle cap.
       M: optional left preconditioner.
       recycle: (k, *shape) U block from a previous RecycledResult (the
-        previous system may have been different); None bootstraps.
+        previous system may have been different); None bootstraps. An
+        ALL-ZERO block is accepted as "no recycle yet": the first
+        cycle runs deflation-free and seeds U from its own Hessenberg
+        — the valid initial carry for lax.while_loop callers that
+        cannot branch on None (solvers/newton_krylov.py).
       x0: initial guess (zeros default).
     """
     if jnp.issubdtype(b.dtype, jnp.complexfloating):
@@ -290,6 +294,25 @@ def gcrodr(
         c_out = jnp.where(good, c_new, c_blk)
         return u_out, c_out
 
+    def seed_from_hessenberg(basis, hraw):
+        """Harmonic Ritz of the PLAIN Hessenberg seeds (U, C) — the
+        GMRES-DR last-column formula (gmres_dr.py:223), used at
+        bootstrap and whenever the carried recycle pair is still the
+        zero block (a zero import means "no recycle yet"; see below).
+        Matvec-free: A·(V z) = V_{m+1}·(H̄ z)."""
+        hm = hraw[:m, :m]
+        em = jnp.zeros((m,), dtype).at[m - 1].set(1.0)
+        f = jnp.linalg.solve(hm.T, em)
+        cmat = hm.at[:, m - 1].add(hraw[m, m - 1] ** 2 * f)
+        vals, vecs, okc = eig_select(cmat, k, which="smallest")
+        z = _realify(vals, vecs, k, eps).astype(dtype)  # (m, k)
+        u_new = jnp.tensordot(z, basis[:m], axes=(0, 0))
+        au_new = jnp.tensordot(hraw @ z, basis, axes=(0, 0))
+        u_blk, c_blk = renormalize(u_new, au_new)
+        u_blk = jnp.where(okc, u_blk, jnp.zeros_like(u_blk))
+        c_blk = jnp.where(okc, c_blk, jnp.zeros_like(c_blk))
+        return u_blk, c_blk
+
     # ------------------------------------------------------------------
     # Bootstrap / import of the recycle pair.
     # ------------------------------------------------------------------
@@ -317,17 +340,7 @@ def gcrodr(
         )
         x = x + comb(y, basis[:m])
         r = comb(resid_coefs, basis)
-        hm = hraw[:m, :m]
-        em = jnp.zeros((m,), dtype).at[m - 1].set(1.0)
-        f = jnp.linalg.solve(hm.T, em)
-        cmat = hm.at[:, m - 1].add(hraw[m, m - 1] ** 2 * f)
-        vals, vecs, okc = eig_select(cmat, k, which="smallest")
-        z = _realify(vals, vecs, k, eps).astype(dtype)  # (m, k)
-        u_new = jnp.tensordot(z, basis[:m], axes=(0, 0))
-        au_new = jnp.tensordot(hraw @ z, basis, axes=(0, 0))
-        u_blk, c_blk = renormalize(u_new, au_new)
-        u_blk = jnp.where(okc, u_blk, jnp.zeros_like(u_blk))
-        c_blk = jnp.where(okc, c_blk, jnp.zeros_like(c_blk))
+        u_blk, c_blk = seed_from_hessenberg(basis, hraw)
         history = history.at[0].set(rel0)
         cyc0 = jnp.int32(1)
 
@@ -357,7 +370,19 @@ def gcrodr(
         yu = -(bmat @ y)
         x = x + comb(y, basis[:m]) + comb(yu, u_blk)
         r = comb(resid_coefs, basis)
-        u_blk, c_blk = update_recycle(u_blk, c_blk, basis, hraw, bmat)
+        # With a live recycle pair, update via the combined pencil.
+        # When (U, C) is still the zero block — a zero-block import,
+        # or a failed import/update — the combined pencil is singular
+        # (cu = 0 zeroes m2's first k columns), so update_recycle
+        # would keep the zero pair FOREVER; seed from the plain
+        # Hessenberg instead, exactly as the bootstrap does. This
+        # makes a zero block a valid "no recycle yet" carry for
+        # while_loop callers (solvers/newton_krylov.py).
+        u2, c2 = update_recycle(u_blk, c_blk, basis, hraw, bmat)
+        us, cs = seed_from_hessenberg(basis, hraw)
+        live = jnp.any(jnp.abs(c_blk) > 0)
+        u_blk = jnp.where(live, u2, us)
+        c_blk = jnp.where(live, c2, cs)
         hist = hist.at[cyc].set(rel)
         status = jnp.where(
             rel < tol, jnp.int32(SolverStatus.CONVERGED), status

@@ -76,6 +76,29 @@ def test_fixed_forcing_and_no_linesearch():
         gt.newton_krylov(F, x0, forcing="nope")
 
 
+def test_gcrodr_inner_recycles_across_newton_steps():
+    # Unpreconditioned Bratu: the recycled deflation subspace carries
+    # across Newton steps (measured 208 vs 1052 total inner matvecs).
+    n, lam = 64, 6.0
+    F = gt.bratu_residual(n, lam)
+    rec = gt.newton_krylov(F, jnp.zeros((n, n)), tol=1e-10,
+                           inner="gcrodr", recycle_k=10, restart=30,
+                           max_restarts=100)
+    assert bool(rec.converged)
+    plain = gt.newton_krylov(F, jnp.zeros((n, n)), tol=1e-10,
+                             restart=30, max_restarts=100)
+    assert bool(plain.converged)
+    np.testing.assert_allclose(
+        np.asarray(rec.x), np.asarray(plain.x), atol=1e-8
+    )
+    assert int(rec.inner_iterations) * 3 < int(plain.inner_iterations)
+    with pytest.raises(ValueError, match="unknown inner"):
+        gt.newton_krylov(F, jnp.zeros((n, n)), inner="nope")
+    with pytest.raises(ValueError, match="gmres inner"):
+        gt.newton_krylov(F, jnp.zeros((n, n)), inner="gcrodr",
+                         inner_dtype=jnp.float32)
+
+
 def test_rootless_residual_breaks_down_honestly():
     # F(x) = x∘x + 1 has no real root; the line search must stall and
     # the solver must say BREAKDOWN, not CONVERGED.
