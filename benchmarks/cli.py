@@ -618,6 +618,64 @@ def cmd_sequence(args):
     _emit(recs, args)
 
 
+def cmd_evolve(args):
+    """Time-dependent driver (solvers/evolve.py): a θ-method
+    trajectory of the heat equation (model=heat, CG steps) or
+    convection-diffusion (model=convdiff, gmres/bicgstab/gcrodr
+    steps), the whole n_steps trajectory ONE jit dispatch (lax.scan
+    over steps — no host round-trips over the axon tunnel). No
+    reference analogue (steady solves only there); the sequence
+    workload is where warm starts and solver=gcrodr's cross-step
+    subspace recycling pay."""
+    import types as _types
+
+    n = args.nsize
+    if args.model == "heat":
+        L = gt.poisson_operator(n)
+    elif args.model == "convdiff":
+        L = gt.convection_diffusion_operator(
+            n, args.gamma_x, args.gamma_y
+        )
+    else:
+        raise SystemExit(f"unknown model {args.model!r}")
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.standard_normal((n, n)))
+    fn = jax.jit(lambda u: gt.theta_evolve(
+        L, u, dt=args.dt, n_steps=args.steps, theta=args.theta,
+        solver=args.solver, tol=args.tol, restart=args.restart,
+        recycle_k=args.k, max_restarts=args.max_restarts,
+        max_iterations=args.max_iterations,
+    ))
+    res, dt_wall = _timed(fn, u0)
+    iters = np.asarray(res.iterations)
+    shim = _types.SimpleNamespace(
+        x=res.u, iterations=int(res.inner_total),
+        residual=float(np.max(np.asarray(res.residuals))),
+        status=res.status,
+    )
+    _emit(
+        [
+            record_from_result(
+                f"evolve-{args.model}-{args.solver}-{n}x{n}", shim,
+                wall_s=dt_wall, tol=args.tol, nnz=5 * n * n - 4 * n,
+                extra={
+                    "model": args.model,
+                    "solver": args.solver,
+                    "theta": args.theta,
+                    "dt": args.dt,
+                    "n_steps": args.steps,
+                    "converged": bool(res.converged),
+                    "iters_step0": int(iters[0]),
+                    "iters_last": int(iters[-1]),
+                    "iters_mean": float(iters.mean()),
+                    "ms_per_step": dt_wall * 1e3 / args.steps,
+                },
+            )
+        ],
+        args,
+    )
+
+
 def cmd_roofline(args):
     """DESIGN.md §1's cost model as measured data: achieved HBM
     bandwidth (slope-timed chains — per-dispatch tunnel latency cancels,
@@ -1159,6 +1217,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("sequence", cmd_sequence, nsize=128, k=10, restart=40,
         tol=1e-8, max_restarts=400, kh2_factors="10.0,10.5,11.0",
         with_gmres=False)
+    add("evolve", cmd_evolve, nsize=256, dt=1.0, steps=50, theta=0.5,
+        model="convdiff", gamma_x=2.0, gamma_y=1.0, solver="gcrodr",
+        tol=1e-9, restart=40, k=10, max_restarts=100,
+        max_iterations=2000)
     return p
 
 

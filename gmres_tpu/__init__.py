@@ -93,6 +93,7 @@ from gmres_tpu.solvers.arnoldi import arnoldi_eigs
 from gmres_tpu.solvers.implicit import implicit_solve
 from gmres_tpu.solvers.gcrodr import gcrodr
 from gmres_tpu.solvers.newton_krylov import newton_krylov
+from gmres_tpu.solvers.evolve import EvolveResult, theta_evolve
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
 from gmres_tpu.solvers.gmres_dr import gmres_dr
@@ -141,6 +142,8 @@ __all__ = [
     "chebyshev_solve",
     "lsqr",
     "newton_krylov",
+    "theta_evolve",
+    "EvolveResult",
     "bratu_residual",
     "arnoldi_eigs",
     "implicit_solve",

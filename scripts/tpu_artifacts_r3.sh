@@ -39,6 +39,19 @@ timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
 timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
   --tol 1e-9 --precision mixed --jsonl artifacts/bratu_tpu.jsonl
 
+# Time-dependent trajectories: θ-method convdiff, recycled vs fresh
+timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
+  --dt 1.0 --solver gcrodr --tol 1e-9 --jsonl artifacts/evolve_tpu.jsonl
+timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
+  --dt 1.0 --solver gmres --tol 1e-9 --jsonl artifacts/evolve_tpu.jsonl
+timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
+  --dt 1.0 --solver bicgstab --tol 1e-9 --jsonl artifacts/evolve_tpu.jsonl
+
+# JFNK with recycling inner (vs the committed gmres-inner rows)
+timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
+  --tol 1e-9 --precond none --inner gcrodr --max-newton 50 \
+  --jsonl artifacts/bratu_tpu.jsonl
+
 # Reduction-free polynomial preconditioner on convdiff (TPU row)
 timeout 1800 python -m benchmarks.cli convdiff --nsize 256 \
   --tol 1e-9 --precond poly --solver gmres --poly-degree 24 \

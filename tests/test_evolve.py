@@ -1,0 +1,175 @@
+"""θ-method time integration (solvers/evolve.py). Oracles: the exact
+per-step rational decay factor ρ(λ) = (1 − (1−θ)Δtλ)/(1 + θΔtλ) on a
+Laplacian eigenmode (machine-precision check), Crank–Nicolson's
+second-order convergence to exp(−λT), the steady state L u = f, and
+cross-step GCRO-DR recycling beating fresh per-step GMRES."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gmres_tpu as gt
+
+
+def _eigenmode(n, i=1, j=1):
+    """Grid eigenmode of the 5-point Laplacian with its eigenvalue."""
+    k = jnp.arange(1, n + 1, dtype=jnp.float64)
+    sx = jnp.sin(i * jnp.pi * k / (n + 1))
+    sy = jnp.sin(j * jnp.pi * k / (n + 1))
+    lam = 4 * np.sin(i * np.pi / (2 * (n + 1))) ** 2 + \
+        4 * np.sin(j * np.pi / (2 * (n + 1))) ** 2
+    return jnp.outer(sx, sy), float(lam)
+
+
+@pytest.mark.parametrize("theta", [0.5, 1.0])
+def test_eigenmode_decay_exact(theta):
+    # One eigenmode: u_n = rho^n u0 EXACTLY (up to solver tol) — pins
+    # both the step formula and the warm-start/solve plumbing.
+    n, dt, steps = 32, 0.3, 20
+    u0, lam = _eigenmode(n)
+    L = gt.poisson_operator(n)
+    res = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, theta=theta,
+                          solver="cg", tol=1e-13)
+    assert bool(res.converged)
+    rho = (1 - (1 - theta) * dt * lam) / (1 + theta * dt * lam)
+    np.testing.assert_allclose(
+        np.asarray(res.u), np.asarray(u0) * rho ** steps,
+        atol=1e-10,
+    )
+    # Warm starts: a single eigenmode solves at the 1-2 iteration
+    # noise floor every step — no growth beyond it.
+    iters = np.asarray(res.iterations)
+    assert iters.max() <= 2
+
+
+def test_crank_nicolson_second_order():
+    # Halving dt must cut the exp(-lam*T) error ~4x (ratio > 3 allows
+    # the next-order term); backward Euler only ~2x.
+    n, T = 32, 2.0
+    u0, lam = _eigenmode(n)
+    L = gt.poisson_operator(n)
+    exact = np.asarray(u0) * np.exp(-lam * T)
+
+    def err(steps, theta):
+        r = gt.theta_evolve(L, u0, dt=T / steps, n_steps=steps,
+                            theta=theta, solver="cg", tol=1e-13)
+        assert bool(r.converged)
+        return float(jnp.max(jnp.abs(r.u - exact)))
+
+    e1, e2 = err(16, 0.5), err(32, 0.5)
+    assert e1 / e2 > 3.0
+    b1, b2 = err(16, 1.0), err(32, 1.0)
+    assert 1.5 < b1 / b2 < 3.0
+
+
+def test_constant_forcing_reaches_steady_state():
+    # u_t + L u = f -> u_inf = L^{-1} f; backward Euler with large dt
+    # converges there regardless of u0.
+    n = 24
+    L = gt.poisson_operator(n)
+    key = jax.random.PRNGKey(0)
+    f = jax.random.normal(key, (n, n), jnp.float64)
+    # tol is ABSOLUTE (cg.f90:37 semantics) — with ‖rhs‖ ~ dt·‖f‖ ~ 1e3
+    # an 1e-13 target sits below CG's attainable accuracy and the exit
+    # certification would (correctly) report BREAKDOWN; 1e-9 is ~1e-12
+    # relative.
+    res = gt.theta_evolve(L, jnp.zeros((n, n)), dt=50.0, n_steps=40,
+                          theta=1.0, forcing=f, solver="cg", tol=1e-9)
+    assert bool(res.converged)
+    steady = gt.cg(L, f, tol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(res.u), np.asarray(steady.x), atol=1e-8
+    )
+
+
+def test_callable_forcing_manufactured_solution():
+    # u(t) = sin(t)·phi with L phi = lam phi solves
+    # u_t + L u = (cos t + lam sin t)·phi; CN tracks it to O(dt^2).
+    n, T, steps = 32, 1.5, 60
+    phi, lam = _eigenmode(n)
+    L = gt.poisson_operator(n)
+
+    def f(t):
+        return (jnp.cos(t) + lam * jnp.sin(t)) * phi
+
+    res = gt.theta_evolve(L, jnp.zeros((n, n)), dt=T / steps,
+                          n_steps=steps, theta=0.5, forcing=f,
+                          solver="cg", tol=1e-13)
+    assert bool(res.converged)
+    exact = np.sin(T) * np.asarray(phi)
+    assert float(jnp.max(jnp.abs(res.u - exact))) < 5e-4
+
+
+def test_gcrodr_recycling_beats_fresh_gmres_on_convdiff():
+    # Nonsymmetric convection-diffusion: the shifted operator is the
+    # SAME every step, so the recycle import is exact — total inner
+    # iterations must come in well under fresh per-step GMRES.
+    n, dt, steps = 48, 2.0, 12
+    L = gt.convection_diffusion_operator(n, 2.0, 1.0)
+    u0 = jnp.ones((n, n), jnp.float64)
+    rec = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, theta=0.5,
+                          solver="gcrodr", recycle_k=10, restart=40,
+                          tol=1e-10, max_restarts=100)
+    fresh = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, theta=0.5,
+                            solver="gmres", restart=40, tol=1e-10,
+                            max_restarts=100)
+    assert bool(rec.converged) and bool(fresh.converged)
+    np.testing.assert_allclose(
+        np.asarray(rec.u), np.asarray(fresh.u), atol=1e-8
+    )
+    assert int(rec.inner_total) < int(fresh.inner_total)
+    # After the first step the recycle is live: per-step iterations
+    # must drop from step 0 to the later steps.
+    iters = np.asarray(rec.iterations)
+    assert iters[2:].max() < iters[0]
+
+
+def test_bicgstab_step_solver():
+    n, dt, steps = 32, 1.0, 5
+    L = gt.convection_diffusion_operator(n, 1.0, 0.5)
+    u0, _ = _eigenmode(n)
+    res = gt.theta_evolve(L, u0, dt=dt, n_steps=steps,
+                          solver="bicgstab", tol=1e-12)
+    ref = gt.theta_evolve(L, u0, dt=dt, n_steps=steps,
+                          solver="gmres", tol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.u), np.asarray(ref.u), atol=1e-8
+    )
+
+
+def test_sharded_parity():
+    # Row-sharded trajectory: identical per-step iteration counts and
+    # the same final state as the single-device run.
+    from jax.sharding import AxisType, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    n, dt, steps = 64, 0.5, 6
+    L = gt.poisson_operator(n)
+    u0, _ = _eigenmode(n, 2, 3)
+    base = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, solver="cg",
+                           tol=1e-12)
+    mesh = jax.make_mesh((8,), ("grid",),
+                         axis_types=(AxisType.Auto,))
+    u0_sh = jax.device_put(u0, NamedSharding(mesh, P("grid", None)))
+    sh = jax.jit(
+        lambda u: gt.theta_evolve(L, u, dt=dt, n_steps=steps,
+                                  solver="cg", tol=1e-12)
+    )(u0_sh)
+    assert bool(sh.converged)
+    np.testing.assert_array_equal(
+        np.asarray(sh.iterations), np.asarray(base.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.u), np.asarray(base.u), atol=1e-12
+    )
+
+
+def test_validation_errors():
+    L = gt.poisson_operator(8)
+    u0 = jnp.zeros((8, 8))
+    with pytest.raises(ValueError, match="unknown solver"):
+        gt.theta_evolve(L, u0, dt=0.1, n_steps=2, solver="nope")
+    with pytest.raises(ValueError, match="theta"):
+        gt.theta_evolve(L, u0, dt=0.1, n_steps=2, theta=1.5)
