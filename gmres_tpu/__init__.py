@@ -94,6 +94,7 @@ from gmres_tpu.solvers.implicit import implicit_solve
 from gmres_tpu.solvers.gcrodr import gcrodr
 from gmres_tpu.solvers.newton_krylov import newton_krylov
 from gmres_tpu.solvers.evolve import EvolveResult, theta_evolve
+from gmres_tpu.solvers.funm import FunmResult, expm_multiply, funm_lanczos
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
 from gmres_tpu.solvers.gmres_dr import gmres_dr
@@ -144,6 +145,9 @@ __all__ = [
     "newton_krylov",
     "theta_evolve",
     "EvolveResult",
+    "funm_lanczos",
+    "expm_multiply",
+    "FunmResult",
     "bratu_residual",
     "arnoldi_eigs",
     "implicit_solve",
