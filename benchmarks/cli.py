@@ -618,6 +618,67 @@ def cmd_sequence(args):
     _emit(recs, args)
 
 
+def cmd_varcoef(args):
+    """Heterogeneous-media driver (models/varcoef.py): CG on
+    −∇·(c∇u) with two high-contrast square inclusions (the
+    Vuik-Segal-Meijerink bubbly-flow shape). One row per
+    preconditioner: jacobi, mg (coefficient-rediscretized V-cycle),
+    and each +defl (inclusion-indicator coarse space,
+    precond/deflation.py). No reference analogue (constant
+    coefficients only there).
+
+    Read the rows by L2/Linf ERROR, not just iterations: at loose
+    relative tolerance the undeflated runs exit with the near-null
+    inclusion modes unresolved (small residual, 100x larger solution
+    error); deflation pins those modes exactly, so +defl rows buy
+    ACCURACY at equal tol — and buy iterations instead once tol is
+    tight enough to force the plateau (tests/test_deflation.py:
+    257 -> 136 at 1e-10)."""
+    n = args.nsize
+    c = np.ones((n, n))
+    a1 = (slice(n // 6, 5 * n // 12), slice(n // 6, 5 * n // 12))
+    a2 = (slice(7 * n // 12, 7 * n // 8),
+          slice(13 * n // 24, 5 * n // 6))
+    c[a1] = args.contrast
+    c[a2] = args.contrast
+    c = jnp.asarray(c)
+    A = gt.varcoef_operator(c)
+    x_true = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, n))
+    )
+    b = A(x_true)
+    tol = args.tol * float(jnp.linalg.norm(b))
+    diag = gt.varcoef_diagonal(c)
+    w1 = np.zeros((n, n))
+    w1[a1] = 1.0
+    w2 = np.zeros((n, n))
+    w2[a2] = 1.0
+    W = jnp.asarray(np.stack(
+        [w1 / np.linalg.norm(w1), w2 / np.linalg.norm(w2)]
+    ))
+    mg = gt.varcoef_multigrid_preconditioner(c)
+    precs = {
+        "jacobi": lambda r: r / diag,
+        "jacobi+defl": gt.coarse_space_preconditioner(
+            A, W, M=lambda r: r / diag
+        ),
+        "mg": mg,
+        "mg+defl": gt.coarse_space_preconditioner(A, W, M=mg),
+    }
+    recs = []
+    for name, M in precs.items():
+        fn = jax.jit(lambda bb, M=M: gt.cg(
+            A, bb, tol=tol, max_iterations=args.max_iterations, M=M
+        ))
+        res, dt = _timed(fn, b)
+        recs.append(record_from_result(
+            f"varcoef-{name}-{n}x{n}", res, x_true=x_true, wall_s=dt,
+            tol=tol, nnz=5 * n * n - 4 * n,
+            extra={"contrast": args.contrast, "precond": name},
+        ))
+    _emit(recs, args)
+
+
 def cmd_evolve(args):
     """Time-dependent driver (solvers/evolve.py): a θ-method
     trajectory of the heat equation (model=heat, CG steps) or
@@ -1217,6 +1278,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("sequence", cmd_sequence, nsize=128, k=10, restart=40,
         tol=1e-8, max_restarts=400, kh2_factors="10.0,10.5,11.0",
         with_gmres=False)
+    add("varcoef", cmd_varcoef, nsize=256, contrast=1e5, tol=1e-9,
+        max_iterations=20_000)
     add("evolve", cmd_evolve, nsize=256, dt=1.0, steps=50, theta=0.5,
         model="convdiff", gamma_x=2.0, gamma_y=1.0, solver="gcrodr",
         tol=1e-9, restart=40, k=10, max_restarts=100,

@@ -56,6 +56,10 @@ from gmres_tpu.solvers.lobpcg import lobpcg
 from gmres_tpu.solvers.chebyshev import chebyshev_solve
 from gmres_tpu.solvers.lsqr import lsqr
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+from gmres_tpu.precond.deflation import (
+    coarse_space_preconditioner,
+    dirichlet_poisson_modes,
+)
 from gmres_tpu.precond.polynomial import gmres_polynomial_preconditioner
 from gmres_tpu.precond.multigrid import (
     convection_diffusion_multigrid_preconditioner,
@@ -89,6 +93,13 @@ from gmres_tpu.models.poisson3d import (
     poisson3d_spectral_bounds,
 )
 from gmres_tpu.models.bratu import bratu_residual
+from gmres_tpu.models.varcoef import (
+    varcoef_apply,
+    varcoef_diagonal,
+    varcoef_matrix,
+    varcoef_multigrid_preconditioner,
+    varcoef_operator,
+)
 from gmres_tpu.solvers.arnoldi import arnoldi_eigs
 from gmres_tpu.solvers.implicit import implicit_solve
 from gmres_tpu.solvers.gcrodr import gcrodr
@@ -149,10 +160,17 @@ __all__ = [
     "expm_multiply",
     "FunmResult",
     "bratu_residual",
+    "varcoef_operator",
+    "varcoef_apply",
+    "varcoef_diagonal",
+    "varcoef_matrix",
+    "varcoef_multigrid_preconditioner",
     "arnoldi_eigs",
     "implicit_solve",
     "gcrodr",
     "chebyshev_preconditioner",
+    "coarse_space_preconditioner",
+    "dirichlet_poisson_modes",
     "gmres_polynomial_preconditioner",
     "poisson_multigrid_preconditioner",
     "convection_diffusion_multigrid_preconditioner",

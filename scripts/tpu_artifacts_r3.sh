@@ -52,6 +52,10 @@ timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
   --tol 1e-9 --precond none --inner gcrodr --max-newton 50 \
   --jsonl artifacts/bratu_tpu.jsonl
 
+# Heterogeneous media: high-contrast inclusions, 4 preconditioner rows
+timeout 2400 python -m benchmarks.cli varcoef --nsize 512 \
+  --contrast 1e5 --tol 1e-9 --jsonl artifacts/varcoef_tpu.jsonl
+
 # Reduction-free polynomial preconditioner on convdiff (TPU row)
 timeout 1800 python -m benchmarks.cli convdiff --nsize 256 \
   --tol 1e-9 --precond poly --solver gmres --poly-degree 24 \
