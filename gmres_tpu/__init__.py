@@ -62,6 +62,7 @@ from gmres_tpu.precond.deflation import (
 )
 from gmres_tpu.precond.polynomial import gmres_polynomial_preconditioner
 from gmres_tpu.precond.multigrid import (
+    anisotropic_multigrid_preconditioner,
     convection_diffusion_multigrid_preconditioner,
     csl_multigrid_preconditioner,
     helmholtz_shifted_laplacian_preconditioner,
@@ -93,6 +94,11 @@ from gmres_tpu.models.poisson3d import (
     poisson3d_spectral_bounds,
 )
 from gmres_tpu.models.bratu import bratu_residual
+from gmres_tpu.models.anisotropic import (
+    anisotropic_apply,
+    anisotropic_matrix,
+    anisotropic_operator,
+)
 from gmres_tpu.models.varcoef import (
     varcoef_apply,
     varcoef_diagonal,
@@ -173,6 +179,10 @@ __all__ = [
     "dirichlet_poisson_modes",
     "gmres_polynomial_preconditioner",
     "poisson_multigrid_preconditioner",
+    "anisotropic_multigrid_preconditioner",
+    "anisotropic_operator",
+    "anisotropic_apply",
+    "anisotropic_matrix",
     "convection_diffusion_multigrid_preconditioner",
     "helmholtz_shifted_laplacian_preconditioner",
     "csl_multigrid_preconditioner",

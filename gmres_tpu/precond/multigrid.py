@@ -940,3 +940,86 @@ def csl_multigrid_preconditioner(
     m_inv.levels = levels
     m_inv.level_coefs = coefs
     return m_inv
+
+
+def anisotropic_multigrid_preconditioner(
+    nsize: int,
+    eps: float,
+    pre_smooth: int = 2,
+    post_smooth: int = 2,
+    omega: float = 0.8,
+    coarse_iters: int = 32,
+    min_size: int = 16,
+    smoother: str = "line",
+) -> Callable:
+    """V-cycle for ε·u_xx + u_yy (models/anisotropic.py) with LINE
+    relaxation along the strong (last) axis.
+
+    Why line smoothing: at ε ≪ 1 pointwise smoothers leave
+    strong-axis-smooth / weak-axis-oscillatory error untouched
+    (smoothing factor → 1), so a point-Jacobi cycle's iteration count
+    BLOWS UP as ε shrinks — smoother="point" is kept as the
+    measurable strawman (tests/test_anisotropic.py pins the
+    contrast). Line relaxation solves every strong-axis tridiagonal
+    exactly per sweep:
+
+        e ← e + ω T⁻¹ (r − A e),   T = tridiag(−1, 2ε + 2, −1)
+
+    batched over all rows by PCR (ops/tridiag.py) — log₂(n)
+    elementwise steps, no gathers, device-local under row sharding
+    (lines run along the unsharded lane axis), so the cycle stays
+    collective-free like every other V-cycle here.
+
+    Under h²-scaling the (ε, 1) coefficients are level-independent,
+    so the Poisson transfer pair (restrict_sum / prolong_repeat)
+    carries over unchanged; full coarsening + line smoothing is the
+    standard robust pairing for grid-aligned anisotropy (Trottenberg
+    et al., Multigrid §5.1).
+    """
+    from gmres_tpu.models.anisotropic import anisotropic_apply
+    from gmres_tpu.ops.tridiag import tridiag_solve_pcr
+
+    if smoother not in ("line", "point"):
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    sizes = [nsize]
+    while sizes[-1] % 2 == 0 and sizes[-1] > min_size:
+        sizes.append(sizes[-1] // 2)
+    n_levels = len(sizes)
+    diag = 2.0 * eps + 2.0
+
+    def line_solve(r):
+        shp = r.shape
+        dl = jnp.full(shp, -1.0, r.dtype)
+        dd = jnp.full(shp, diag, r.dtype)
+        du = jnp.full(shp, -1.0, r.dtype)
+        return tridiag_solve_pcr(dl, dd, du, r)
+
+    def smooth(r, iters):
+        # lax.fori_loop, NOT a Python loop: a coarse solve is dozens
+        # of sweeps, each containing a log2(n)-step PCR solve —
+        # unrolled inside the Krylov while_loop this explodes compile
+        # time (CLAUDE.md rule 6; measured: minutes → seconds).
+        import jax as _jax
+
+        def sweep(_, e):
+            resid = r - anisotropic_apply(e, eps)
+            if smoother == "line":
+                return e + omega * line_solve(resid)
+            return e + (omega / diag) * resid
+
+        return _jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(r))
+
+    def v_cycle(r, l):
+        if l == n_levels - 1:
+            return smooth(r, coarse_iters)
+        e = smooth(r, pre_smooth)
+        resid = r - anisotropic_apply(e, eps)
+        e = e + prolong_repeat(v_cycle(restrict_sum(resid), l + 1))
+        resid = r - anisotropic_apply(e, eps)
+        return e + smooth(resid, post_smooth)
+
+    def m_inv(r: jnp.ndarray) -> jnp.ndarray:
+        return v_cycle(r, 0)
+
+    return m_inv
