@@ -111,7 +111,13 @@ from gmres_tpu.solvers.implicit import implicit_solve
 from gmres_tpu.solvers.gcrodr import gcrodr
 from gmres_tpu.solvers.newton_krylov import newton_krylov
 from gmres_tpu.solvers.evolve import EvolveResult, theta_evolve
-from gmres_tpu.solvers.funm import FunmResult, expm_multiply, funm_lanczos
+from gmres_tpu.solvers.funm import (
+    FunmResult,
+    TraceResult,
+    expm_multiply,
+    funm_lanczos,
+    trace_funm,
+)
 from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
 from gmres_tpu.solvers.gmres_dr import gmres_dr
@@ -164,7 +170,9 @@ __all__ = [
     "EvolveResult",
     "funm_lanczos",
     "expm_multiply",
+    "trace_funm",
     "FunmResult",
+    "TraceResult",
     "bratu_residual",
     "varcoef_operator",
     "varcoef_apply",

@@ -66,6 +66,9 @@ class EvolveResult:
         in an average).
       inner_total: int32 total solver iterations across the
         trajectory (the cost number recycling/warm starts reduce).
+      trajectory: (n_steps, *shape) per-step states when
+        ``save_trajectory=True``; a (0,) placeholder otherwise (kept
+        shape-static for jit).
     """
 
     u: Any
@@ -74,6 +77,7 @@ class EvolveResult:
     statuses: jnp.ndarray
     status: jnp.ndarray
     inner_total: jnp.ndarray
+    trajectory: jnp.ndarray
 
     @property
     def converged(self) -> jnp.ndarray:
@@ -96,6 +100,7 @@ def theta_evolve(
     restart: int = 40,
     max_restarts: int = 50,
     recycle_k: int = 10,
+    save_trajectory: bool = False,
 ) -> EvolveResult:
     """Integrate u_t + L u = f from u0 over n_steps of size dt.
 
@@ -126,6 +131,10 @@ def theta_evolve(
         passed through to the per-step solver (tol keeps each
         solver's own semantics — absolute for cg/bicgstab, relative
         for gmres/gcrodr).
+      save_trajectory: stack every step's state into
+        ``result.trajectory`` (n_steps × state memory — opt-in; the
+        scan emits it as an output so there is still only ONE
+        dispatch).
     """
     if solver not in ("cg", "bicgstab", "gmres", "gcrodr"):
         raise ValueError(f"unknown solver {solver!r}")
@@ -188,10 +197,12 @@ def theta_evolve(
                 * (restart - recycle_k)
                 + res.iterations
             )
+        snap = res.x if save_trajectory else jnp.zeros((0,), dtype)
         return (res.x, rec), (
             jnp.int32(inner),
             jnp.asarray(res.residual, rdtype),
             jnp.int32(res.status),
+            snap,
         )
 
     # An all-zero block means "no recycle yet" (gcrodr seeds from its
@@ -201,7 +212,7 @@ def theta_evolve(
         if solver == "gcrodr" else jnp.zeros((0,), dtype)
     )
     ts = t0 + dt_c * jnp.arange(n_steps, dtype=rdtype)
-    (u, _), (iters, resids, statuses) = jax.lax.scan(
+    (u, _), (iters, resids, statuses, traj) = jax.lax.scan(
         step, (u0, rec0), ts
     )
     return EvolveResult(
@@ -211,4 +222,6 @@ def theta_evolve(
         statuses=statuses,
         status=jnp.max(statuses),
         inner_total=jnp.sum(iters),
+        trajectory=(traj if save_trajectory
+                    else jnp.zeros((0,), dtype)),
     )

@@ -130,3 +130,76 @@ def expm_multiply(
     if jnp.ndim(t) == 0:
         y, err = y[0], err[0]
     return FunmResult(y=y, error_estimate=err, asymmetry=asym)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TraceResult:
+    """Result of :func:`trace_funm` (stochastic Lanczos quadrature).
+
+    Attributes:
+      value: tr f(A) estimate (mean over probes).
+      stderr: standard error of the probe mean — the Monte-Carlo
+        uncertainty (the Lanczos quadrature error per probe is
+        separate and decays exponentially in steps).
+      samples: (n_probes,) per-probe estimates zᵀf(A)z.
+    """
+
+    value: jnp.ndarray
+    stderr: jnp.ndarray
+    samples: jnp.ndarray
+
+
+def trace_funm(
+    A: LinearOperator,
+    f: Callable,
+    x_like: jnp.ndarray,
+    *,
+    n_probes: int = 16,
+    steps: int = 30,
+    key=None,
+) -> TraceResult:
+    """Estimate tr f(A) for symmetric A by stochastic Lanczos
+    quadrature (Ubaru, Chen, Saad — SIMAX 38(4), 2017):
+
+        tr f(A) ≈ (1/m) Σᵢ zᵢᵀ f(A) zᵢ,   zᵢ Rademacher,
+
+    each quadrature zᵀf(A)z = ‖z‖²·e₁ᵀf(T_m)e₁ from one Lanczos
+    factorization — the log-det / trace-inverse workhorse (Gaussian
+    process likelihoods: log det A = tr log A).
+
+    TPU shape: the probes are INDEPENDENT — ``jax.vmap`` over the
+    whole factorization turns m probes into batched stencil applies
+    and batched small eighs, the same batching economics as the
+    multi-RHS solvers (DESIGN.md §4c). One dispatch, no loop.
+
+    Args:
+      A: symmetric operator callable.
+      f: elementwise spectral map (``jnp.log`` for log-det,
+        ``lambda s: 1/s`` for tr A⁻¹).
+      x_like: array of A's operand shape/dtype (gives the probe
+        shape).
+      n_probes: Monte-Carlo sample count m (variance ∝ 1/m).
+      steps: Lanczos steps per probe.
+      key: PRNG key (default deterministic PRNGKey(0) — reproducible,
+        jit-friendly).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    shape = x_like.shape
+    dtype = x_like.dtype
+    z = jax.random.rademacher(
+        key, (n_probes,) + shape, dtype=dtype
+    )
+
+    def one(zi):
+        basis, hmat = arnoldi_factorization(A, zi, steps)
+        h = hmat[:steps, :steps]
+        theta, q = jnp.linalg.eigh(0.5 * (h + h.T))
+        nrm2 = tree_vdot(zi, zi)  # = N exactly for Rademacher
+        return nrm2 * jnp.sum(f(theta) * q[0, :] ** 2)
+
+    samples = jax.vmap(one)(z)
+    value = jnp.mean(samples)
+    stderr = jnp.std(samples) / jnp.sqrt(1.0 * n_probes)
+    return TraceResult(value=value, stderr=stderr, samples=samples)

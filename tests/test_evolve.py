@@ -173,3 +173,26 @@ def test_validation_errors():
         gt.theta_evolve(L, u0, dt=0.1, n_steps=2, solver="nope")
     with pytest.raises(ValueError, match="theta"):
         gt.theta_evolve(L, u0, dt=0.1, n_steps=2, theta=1.5)
+
+
+def test_save_trajectory():
+    n, dt, steps = 32, 0.3, 5
+    u0, lam = _eigenmode(n)
+    L = gt.poisson_operator(n)
+    res = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, theta=1.0,
+                          solver="cg", tol=1e-13,
+                          save_trajectory=True)
+    assert res.trajectory.shape == (steps, n, n)
+    rho = 1.0 / (1 + dt * lam)
+    for k in range(steps):
+        np.testing.assert_allclose(
+            np.asarray(res.trajectory[k]),
+            np.asarray(u0) * rho ** (k + 1), atol=1e-10,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(res.trajectory[-1]), np.asarray(res.u)
+    )
+    # Default: shape-static empty placeholder.
+    off = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, solver="cg",
+                          tol=1e-13)
+    assert off.trajectory.shape == (0,)

@@ -124,3 +124,51 @@ def test_sharded_parity():
     np.testing.assert_allclose(
         np.asarray(sh.y), np.asarray(base.y), atol=1e-11
     )
+
+
+def test_trace_logdet_vs_dense():
+    # log det A = tr log A: SLQ estimate within a few stderr of the
+    # dense slogdet on a problem small enough to enumerate.
+    n = 16
+    a, L, _ = _dense_oracle(n)
+    exact = np.linalg.slogdet(a)[1]
+    res = gt.trace_funm(L, jnp.log, jnp.zeros((n, n)),
+                        n_probes=64, steps=40)
+    assert res.samples.shape == (64,)
+    err = abs(float(res.value) - exact)
+    assert err < 4 * float(res.stderr) + 1e-6
+    # The stderr itself must be a small fraction of the value.
+    assert float(res.stderr) < 0.05 * abs(exact)
+
+
+def test_trace_inverse_and_identity():
+    n = 12
+    a, L, _ = _dense_oracle(n)
+    # f = identity: tr A is exact per probe for Rademacher z up to the
+    # quadrature (polynomial degree 1 -> exact at any steps >= 2), so
+    # the estimator reduces to Hutchinson on tr A.
+    res_id = gt.trace_funm(L, lambda s: s, jnp.zeros((n, n)),
+                           n_probes=128, steps=8)
+    exact_tr = np.trace(a)
+    assert abs(float(res_id.value) - exact_tr) \
+        < 4 * float(res_id.stderr) + 1e-9
+    res_inv = gt.trace_funm(L, lambda s: 1.0 / s, jnp.zeros((n, n)),
+                            n_probes=64, steps=40)
+    exact_inv = np.trace(np.linalg.inv(a))
+    assert abs(float(res_inv.value) - exact_inv) \
+        < 4 * float(res_inv.stderr) + 1e-6
+
+
+def test_trace_key_and_jit():
+    n = 16
+    L = gt.poisson_operator(n)
+    r1 = gt.trace_funm(L, jnp.log, jnp.zeros((n, n)), n_probes=8,
+                       steps=20, key=jax.random.PRNGKey(3))
+    r2 = jax.jit(
+        lambda: gt.trace_funm(L, jnp.log, jnp.zeros((n, n)),
+                              n_probes=8, steps=20,
+                              key=jax.random.PRNGKey(3))
+    )()
+    np.testing.assert_allclose(
+        np.asarray(r1.samples), np.asarray(r2.samples), atol=1e-10
+    )
