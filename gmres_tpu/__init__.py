@@ -47,6 +47,7 @@ from gmres_tpu.solvers.cg import cg
 from gmres_tpu.solvers.bicgstab import bicgstab
 from gmres_tpu.solvers.bicgstabl import bicgstabl
 from gmres_tpu.solvers.tfqmr import tfqmr
+from gmres_tpu.solvers.qmr import qmr
 from gmres_tpu.solvers.idrs import idrs
 from gmres_tpu.solvers.gmres import gmres
 from gmres_tpu.solvers.minres import minres
@@ -152,6 +153,7 @@ __all__ = [
     "bicgstab",
     "bicgstabl",
     "tfqmr",
+    "qmr",
     "idrs",
     "gmres",
     "minres",

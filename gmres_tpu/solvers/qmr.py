@@ -1,0 +1,214 @@
+"""QMR: quasi-minimal residual (Freund–Nachtigal 1991) via two-sided
+Lanczos, in the Templates formulation (Barrett et al. 1994, §2.3.6 —
+the variant scipy.sparse.linalg.qmr implements).
+
+Completes the library's nonsymmetric short-recurrence family
+(solvers/bicgstab.py, bicgstabl.py, tfqmr.py, idrs.py): QMR is the
+member that uses the TRANSPOSE direction explicitly — the two-sided
+Lanczos process builds a genuine tridiagonal projection of A, and the
+quasi-minimization over it gives the characteristically smooth
+residual curve where BiCG-type products oscillate. TFQMR
+(solvers/tfqmr.py) avoids Aᵀ by squaring the polynomial; QMR keeps
+the un-squared recurrence.
+
+Formulation note, learned by measurement: the textbook scaling
+δ_{j+1} = √|⟨v̂, ŵ⟩| (Saad Alg. 7.1) lets ‖v̂‖, ‖ŵ‖ grow unboundedly
+(observed 1e10 by iteration 50 on a 24² convection-diffusion
+operator) until the biorthogonality scalar is pure roundoff. The
+Templates variant keeps BOTH Lanczos vectors unit-norm every step —
+the extra two norm reductions per iteration are the price of
+stability, and they fuse into the iteration's existing reduction
+phase under XLA.
+
+The JAX-native part (same as solvers/lsqr.py): Aᵀ is DERIVED by
+``jax.linear_transpose`` — exact for stencils, sparse operators, and
+sharded shard_map operators (XLA reverses the collectives) — where
+the reference architecture would hand-maintain a second routine per
+operator (interfaces.f90:12-18 has no transpose slot at all). Caveat:
+lax.fori_loop/while_loop have no transpose rule, so preconditioners
+built on them (the multigrid cycles) need an explicit ``AT=`` — or
+use a transposable M (polynomial/Chebyshev application loops are
+Python-unrolled and transpose mechanically).
+
+TPU shape: one ``lax.while_loop``; per iteration 2 long-vector
+operator applications (A p, Aᵀ q) and 3 reduction phases (δ = wᵀv;
+ε = qᵀAp; the fused ρ/ξ/‖r‖ norm group); 9 long vectors carried.
+
+No look-ahead: a serious Lanczos breakdown (δ, ε, β, or γ vanishing)
+exits with BREAKDOWN honestly — the reference-wide fail-loudly policy
+(PARITY.md quirk 1 disposition). Exit certification recomputes the
+true residual (quirk 8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gmres_tpu.ops.blas import tree_norm, tree_vdot
+from gmres_tpu.types import (
+    LinearOperator,
+    Preconditioner,
+    SolveResult,
+    SolverStatus,
+)
+
+
+def qmr(
+    A,
+    b: Any,
+    *,
+    tol: float = 1e-9,
+    max_iterations: int = 10_000,
+    M: Optional[Preconditioner] = None,
+    x0: Optional[Any] = None,
+    AT=None,
+) -> SolveResult:
+    """Solve A x = b (A real nonsymmetric) by QMR.
+
+    Args:
+      A: linear operator callable (dense matrices: wrap as
+        ``lambda v: a @ v``).
+      b: right-hand side (real; complex QMR needs conjugate-pair
+        bookkeeping this implementation does not carry — use
+        ``gmres(variant="mgsr")`` or ``tfqmr`` for complex).
+      tol: ABSOLUTE ‖r‖₂ target (cg.f90:37 semantics, like
+        cg/bicgstab); certified on the true residual at exit.
+      max_iterations: Lanczos step cap.
+      M: optional left preconditioner — the solve runs on M∘A with
+        its derived transpose. M must be TRANSPOSABLE by
+        ``jax.linear_transpose`` (no fori/while loops inside — the
+        multigrid cycles are not; pass ``AT=`` for those).
+      x0: initial guess (zeros default).
+      AT: optional transpose callable of the PRECONDITIONED operator
+        (M∘A)ᵀ; derived when omitted.
+    """
+    dtype = jnp.result_type(*jax.tree.leaves(b))
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        raise ValueError("qmr supports real dtypes only")
+    op: LinearOperator = (lambda v: M(A(v))) if M is not None else A
+    if AT is None:
+        transpose = jax.linear_transpose(op, b)
+
+        def AT(u):
+            (out,) = transpose(u)
+            return out
+
+    rhs = M(b) if M is not None else b
+    x = jnp.zeros_like(rhs) if x0 is None else x0
+    r = rhs - op(x) if x0 is not None else rhs
+    beta0 = tree_norm(r)
+    zero_v = jnp.zeros_like(r)
+    one = jnp.ones((), dtype)
+    z = jnp.zeros((), dtype)
+
+    status0 = jnp.where(
+        beta0 < tol,
+        jnp.int32(SolverStatus.CONVERGED),
+        jnp.int32(SolverStatus.MAX_ITERATIONS),
+    )
+    history = jnp.full((max_iterations,), beta0, dtype)
+
+    def _safe(d):
+        return jnp.where(jnp.abs(d) > 0, d, jnp.ones_like(d))
+
+    def cond(carry):
+        (i, *_), status, _ = carry
+        return (i < max_iterations) & (
+            status == SolverStatus.MAX_ITERATIONS
+        )
+
+    def body(carry):
+        (i, x, r, v_t, w_t, p, q, d, s, scal), status, hist = carry
+        rho, xi, gamma, eta, eps_prev, theta_prev = scal
+        first = i == 0
+
+        v = v_t / _safe(rho)
+        w = w_t / _safe(xi)
+        delta = tree_vdot(w, v)
+        coef_p = jnp.where(first, z, xi * delta / _safe(eps_prev))
+        coef_q = jnp.where(first, z, rho * delta / _safe(eps_prev))
+        p = v - coef_p * p
+        q = w - coef_q * q
+        p_t = op(p)
+        eps_i = tree_vdot(q, p_t)
+        beta = eps_i / _safe(delta)
+        v_t = p_t - beta * v
+        w_t = AT(q) - beta * w
+        rho_next = tree_norm(v_t)
+        xi_next = tree_norm(w_t)
+        theta = rho_next / (_safe(gamma * jnp.abs(beta)))
+        gamma_new = 1.0 / jnp.sqrt(1.0 + theta * theta)
+        eta_new = (-eta * rho * gamma_new * gamma_new
+                   / _safe(beta * gamma * gamma))
+        tg2 = jnp.where(
+            first, z, (theta_prev * gamma_new) ** 2
+        )
+        d = eta_new * p + tg2 * d
+        s = eta_new * p_t + tg2 * s
+        x = x + d
+        r = r - s
+        resid = tree_norm(r)
+
+        hist = hist.at[i].set(resid)
+        status = jnp.where(
+            resid < tol, jnp.int32(SolverStatus.CONVERGED), status
+        )
+        # Serious breakdowns ONLY: exact zeros / non-finite. Measured
+        # on 24² convection-diffusion: δ and ε BOTH decay to machine
+        # epsilon by iteration ~50 while their ratio β stays O(1) and
+        # the residual keeps contracting (8e-4 → 4e-7) — the benign
+        # near-breakdown the recurrence sails through; thresholding
+        # |δ|, |ε| at ε_machine falsely kills converging solves.
+        breakdown = (
+            (delta == 0)
+            | (eps_i == 0)
+            | (rho_next == 0)
+            | (xi_next == 0)
+            | ~jnp.isfinite(resid)
+            | ~jnp.isfinite(beta)
+        )
+        status = jnp.where(
+            (status == SolverStatus.MAX_ITERATIONS) & breakdown,
+            jnp.int32(SolverStatus.BREAKDOWN),
+            status,
+        )
+        scal = (rho_next, xi_next, gamma_new, eta_new, eps_i, theta)
+        return (
+            (i + 1, x, r, v_t, w_t, p, q, d, s, scal),
+            status,
+            hist,
+        )
+
+    scal0 = (beta0, beta0, one, -one, one, z)
+    carry0 = (
+        (jnp.int32(0), x, r, r, r, zero_v, zero_v, zero_v, zero_v,
+         scal0),
+        status0,
+        history,
+    )
+    (i, x, *_), status, history = jax.lax.while_loop(
+        cond, body, carry0
+    )
+
+    # Exit certification on the true (preconditioned) residual: the
+    # recursive r drifts like every short recurrence (PARITY quirk 8).
+    r_true = rhs - op(x)
+    res_true = tree_norm(r_true)
+    status = jnp.where(
+        (status == SolverStatus.CONVERGED) & (res_true >= tol),
+        jnp.int32(SolverStatus.BREAKDOWN),
+        status,
+    )
+    history = jnp.where(
+        jnp.arange(max_iterations) < i, history, res_true
+    )
+    return SolveResult(
+        x=x,
+        iterations=i,
+        residual=res_true,
+        status=status,
+        residual_history=history,
+    )
