@@ -43,8 +43,38 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.solvers.block_gmres import _orthonormalize_block
 from gmres_tpu.types import EigResult, SolverStatus
+
+
+def _svqb_b(w, bw, eps):
+    """One SVQB pass in the B-inner product: whitening from the Gram
+    g = conj(w)·(B w). Returns (q, bq) with q B-orthonormal and
+    bq = B·q obtained by applying the SAME whitening combination to
+    the bw block — recombination instead of fresh B applications.
+    With bw = w this reproduces block_gmres._svqb's standard-product
+    whitening bit-for-bit (the real/complex Gram of identical rows is
+    exactly Hermitian, so no symmetrization is needed)."""
+    s = w.shape[0]
+    flat = w.reshape(s, -1)
+    bflat = bw.reshape(s, -1)
+    g = jnp.conj(flat) @ bflat.T
+    d = jnp.sqrt(jnp.maximum(jnp.real(jnp.diagonal(g)), 0.0))
+    dinv = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
+    gs = g * dinv[:, None] * dinv[None, :]
+    lam, u = jnp.linalg.eigh(0.5 * (gs + jnp.conj(gs.T)))
+    lmax = jnp.maximum(lam[-1], eps)
+    lam_c = jnp.maximum(lam, eps * lmax)
+    smat = (dinv[:, None] * u) / jnp.sqrt(lam_c)[None, :]
+    q = jnp.tensordot(smat, w, axes=(0, 0))
+    bq = jnp.tensordot(smat, bw, axes=(0, 0))
+    return q, bq
+
+
+def _orthonormalize_block_b(w, bw, eps):
+    """SVQB² in the B-inner product (the joint-basis robustness of
+    block_gmres._orthonormalize_block, generalized)."""
+    q1, bq1 = _svqb_b(w, bw, eps)
+    return _svqb_b(q1, bq1, eps)
 
 
 def _rows_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -68,11 +98,18 @@ def lobpcg(
     tol: float = 1e-6,
     max_iterations: int = 200,
     M: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    B: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     guard: int = 0,
 ) -> EigResult:
     """Compute the k smallest eigenpairs of the SPD (real) or HPD
     (complex Hermitian — every Gram/Ritz quantity stays
-    Hermitian/real through the conjugating reductions) operator A.
+    Hermitian/real through the conjugating reductions) operator A —
+    or of the GENERALIZED pencil A x = λ B x when the SPD mass
+    operator ``B`` is given (FEM mass matrices, weighted norms): the
+    basis is B-orthonormalized (SVQB² on the B-Gram; B·q maintained
+    by recombination, so B is applied once per basis vector per
+    iteration), the residual is A x − λ B x, and eigenvectors come
+    out B-orthonormal.
 
     A acts on a single vector (same contract as the solvers); it is
     vmapped over the block internally. X0 is the (k, *shape) initial
@@ -104,6 +141,9 @@ def lobpcg(
     eps = float(jnp.finfo(dtype).eps)
     a_block = jax.vmap(A)
     m_block = jax.vmap(M) if M is not None else (lambda r: r)
+    # Identity for the standard problem: bs IS s (no copy), and every
+    # B-product formula below reduces bit-for-bit to the standard one.
+    b_block = jax.vmap(B) if B is not None else (lambda s: s)
     base_key = jax.random.PRNGKey(0)
 
     def fill_degenerate(v, i, salt):
@@ -127,17 +167,18 @@ def lobpcg(
         )
 
     def rayleigh_ritz(s):
-        """Jointly orthonormalize the basis rows, then Ritz-extract the
-        k smallest pairs. Returns (lam, x, r, resnorm)."""
-        q, _ = _orthonormalize_block(s, eps)
+        """Jointly B-orthonormalize the basis rows, then Ritz-extract
+        the k smallest pairs. Returns (lam, x, r, resnorm)."""
+        q, bq = _orthonormalize_block_b(s, b_block(s), eps)
         aq = a_block(q)
         h = _rows_dot(q, aq)
         lam_all, c = jnp.linalg.eigh(0.5 * (h + jnp.conj(h.T)))
         ck = c[:, :k]
         x = _combine(ck, q)
         ax = _combine(ck, aq)
+        bx = _combine(ck, bq)
         lam = lam_all[:k]
-        r = ax - lam.reshape((-1,) + (1,) * (x.ndim - 1)) * x
+        r = ax - lam.reshape((-1,) + (1,) * (x.ndim - 1)) * bx
         resnorm = jnp.sqrt(
             jnp.sum(jnp.abs(r.reshape(k, -1)) ** 2, axis=1)
         )
@@ -149,8 +190,11 @@ def lobpcg(
         # recoverable (the next iteration's fill_degenerate +
         # clamped SVQB repair the basis) and must keep iterating.
         big = jnp.sqrt(jnp.finfo(resnorm.dtype).max)
-        xnorm = jnp.sqrt(jnp.sum(jnp.abs(x.reshape(k, -1)) ** 2,
-                                 axis=1))
+        # B-norm of each Ritz vector (= plain norm for B=None, where
+        # bx IS x up to identical arithmetic).
+        xnorm = jnp.sqrt(jnp.abs(jnp.sum(
+            jnp.conj(x.reshape(k, -1)) * bx.reshape(k, -1), axis=1
+        )))
         resnorm = jnp.where(
             jnp.abs(xnorm - 1.0) < 0.5, resnorm, big
         )

@@ -190,3 +190,55 @@ def test_guard_vectors_accelerate_last_pair():
     bare = gt.lobpcg(lambda v: aj @ v, X0, tol=1e-9, max_iterations=100,
                      M=lambda v: a_inv @ v)
     assert int(res.iterations) < int(bare.iterations)
+
+
+def test_generalized_pencil_scipy_oracle():
+    """A x = lam B x with a varying SPD diagonal mass operator:
+    eigenvalues/vectors match scipy.linalg.eigh(a, b), and the
+    returned block is B-orthonormal."""
+    import scipy.linalg
+
+    n, k = 16, 4
+    a = np.asarray(gt.poisson_matrix(n))
+    rng = np.random.default_rng(9)
+    m_diag = 1.0 + 0.5 * rng.random(n * n)
+    mj = jnp.asarray(m_diag.reshape(n, n))
+    aj = jnp.asarray(a)
+
+    def A(v):
+        return gt.poisson_apply(v)
+
+    def B(v):
+        return mj * v
+
+    X0 = jnp.asarray(rng.standard_normal((k, n, n)))
+    res = gt.lobpcg(A, X0, tol=1e-8, max_iterations=500, B=B,
+                    M=gt.poisson_multigrid_preconditioner(n), guard=2)
+    assert bool(res.converged)
+    w_ref, v_ref = scipy.linalg.eigh(a, np.diag(m_diag))
+    np.testing.assert_allclose(
+        np.asarray(res.eigenvalues), w_ref[:k], rtol=1e-7
+    )
+    # B-orthonormality of the returned block.
+    xf = np.asarray(res.x).reshape(k, -1)
+    gram = xf @ np.diag(m_diag) @ xf.T
+    np.testing.assert_allclose(gram, np.eye(k), atol=1e-7)
+    # Residuals are generalized: ||A x - lam B x|| small.
+    for i in range(k):
+        r = a @ xf[i] - w_ref[i] * m_diag * xf[i]
+        assert np.linalg.norm(r) < 1e-6
+
+
+def test_generalized_reduces_to_standard_with_identity_B():
+    n, k = 24, 3
+    A = gt.poisson_operator(n)
+    rng = np.random.default_rng(4)
+    X0 = jnp.asarray(rng.standard_normal((k, n, n)))
+    std = gt.lobpcg(A, X0, tol=1e-7, max_iterations=300)
+    gen = gt.lobpcg(A, X0, tol=1e-7, max_iterations=300,
+                    B=lambda v: v)
+    assert bool(std.converged) and bool(gen.converged)
+    np.testing.assert_allclose(
+        np.asarray(gen.eigenvalues), np.asarray(std.eigenvalues),
+        rtol=1e-9,
+    )
