@@ -290,6 +290,34 @@ def cmd_convdiff(args):
                 max_iterations=args.max_iterations, M=m_inv,
             )
         )
+    elif args.solver == "tfqmr":
+        fn = jax.jit(
+            lambda bb: gt.tfqmr(
+                op, bb, tol=args.tol,
+                max_iterations=args.max_iterations, M=m_inv,
+            )
+        )
+    elif args.solver == "idrs":
+        fn = jax.jit(
+            lambda bb: gt.idrs(
+                op, bb, s=args.idrs_s, tol=args.tol,
+                max_iterations=args.max_iterations, M=m_inv,
+            )
+        )
+    elif args.solver == "qmr":
+        if args.precond == "mg":
+            raise SystemExit(
+                "qmr derives (M A)^T by jax.linear_transpose; the MG "
+                "cycle's fori_loop has no transpose rule — use "
+                "--precond none with qmr (poly is transposable but "
+                "measured to stall QMR's two-sided recurrence here)"
+            )
+        fn = jax.jit(
+            lambda bb: gt.qmr(
+                op, bb, tol=args.tol,
+                max_iterations=args.max_iterations, M=m_inv,
+            )
+        )
     else:
         fn = jax.jit(
             lambda bb: gt.bicgstab(
@@ -308,9 +336,15 @@ def cmd_convdiff(args):
     elif args.solver == "bicgstabl":
         # 2ℓ matvecs per outer cycle.
         matvecs = 2 * args.ell * int(res.iterations)
+    elif args.solver == "idrs":
+        # s+1 matvecs per outer cycle (one per shadow projection + the
+        # closing minimal-residual step).
+        matvecs = (args.idrs_s + 1) * int(res.iterations)
     else:
-        # 2 matvecs/iteration (+1 exit certification, + any reliable-
-        # update replacements, both excluded as setup-like costs).
+        # bicgstab/tfqmr: 2 matvecs per iteration; qmr: 1 A and 1 A^T
+        # per iteration — also 2 operator-application units.
+        # (+1 exit certification, + any reliable-update replacements,
+        # excluded as setup-like costs.)
         matvecs = 2 * int(res.iterations)
     _emit(
         [
@@ -1252,7 +1286,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("convdiff", cmd_convdiff, nsize=256, gamma_x=0.4, gamma_y=0.2,
         tol=1e-9, max_iterations=10_000, precond="none",
         solver="bicgstab", precision="f64", smoother="jacobi", ell=2,
-        poly_degree=24)
+        poly_degree=24, idrs_s=8)
     add("bratu", cmd_bratu, nsize=256, lam=5.0, tol=1e-10,
         max_newton=30, precond="mg", precision="f64", inner="gmres")
     add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
