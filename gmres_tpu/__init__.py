@@ -111,7 +111,12 @@ from gmres_tpu.solvers.arnoldi import arnoldi_eigs
 from gmres_tpu.solvers.implicit import implicit_solve
 from gmres_tpu.solvers.gcrodr import gcrodr
 from gmres_tpu.solvers.newton_krylov import newton_krylov
-from gmres_tpu.solvers.evolve import EvolveResult, theta_evolve
+from gmres_tpu.solvers.evolve import (
+    EvolveResult,
+    ExpEvolveResult,
+    exponential_evolve,
+    theta_evolve,
+)
 from gmres_tpu.solvers.funm import (
     FunmResult,
     TraceResult,
@@ -170,6 +175,8 @@ __all__ = [
     "newton_krylov",
     "theta_evolve",
     "EvolveResult",
+    "exponential_evolve",
+    "ExpEvolveResult",
     "funm_lanczos",
     "expm_multiply",
     "trace_funm",

@@ -196,3 +196,54 @@ def test_save_trajectory():
     off = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, solver="cg",
                           tol=1e-13)
     assert off.trajectory.shape == (0,)
+
+
+def test_exponential_evolve_exact_with_forcing():
+    # On an eigenmode basis the exponential-Euler rule is EXACT:
+    # u_n = (beta - alpha/lam) e^{-n dt lam} phi + (alpha/lam) phi.
+    n, dt, steps = 32, 0.4, 8
+    phi, lam = _eigenmode(n)
+    L = gt.poisson_operator(n)
+    alpha, beta = 0.7, 2.0
+    res = gt.exponential_evolve(L, beta * phi, dt=dt, n_steps=steps,
+                                steps=6, forcing=alpha * phi)
+    exact = ((beta - alpha / lam) * np.exp(-steps * dt * lam)
+             + alpha / lam) * np.asarray(phi)
+    np.testing.assert_allclose(np.asarray(res.u), exact, atol=1e-11)
+    assert res.error_estimates.shape == (steps,)
+
+
+def test_exponential_beats_crank_nicolson():
+    # General initial data: ONE exponential step (spectral in time)
+    # beats 32 CN steps covering the same interval.
+    n, T = 24, 1.0
+    L = gt.poisson_operator(n)
+    rng = np.random.default_rng(8)
+    u0 = jnp.asarray(rng.standard_normal((n, n)))
+    a = np.asarray(gt.poisson_matrix(n))
+    import scipy.linalg
+
+    exact = (scipy.linalg.expm(-T * a)
+             @ np.asarray(u0).ravel()).reshape(n, n)
+    e_exp = gt.exponential_evolve(L, u0, dt=T, n_steps=1, steps=40)
+    cn = gt.theta_evolve(L, u0, dt=T / 32, n_steps=32, theta=0.5,
+                         solver="cg", tol=1e-13)
+    err_exp = float(jnp.max(jnp.abs(e_exp.u - exact)))
+    err_cn = float(jnp.max(jnp.abs(cn.u - exact)))
+    assert err_exp < 1e-9
+    assert err_exp * 100 < err_cn
+
+
+def test_exponential_trajectory():
+    n = 16
+    L = gt.poisson_operator(n)
+    u0, lam = _eigenmode(n)
+    res = gt.exponential_evolve(L, u0, dt=0.3, n_steps=4, steps=5,
+                                save_trajectory=True)
+    assert res.trajectory.shape == (4, n, n)
+    for k in range(4):
+        np.testing.assert_allclose(
+            np.asarray(res.trajectory[k]),
+            np.exp(-(k + 1) * 0.3 * lam) * np.asarray(u0),
+            atol=1e-12,
+        )
