@@ -125,8 +125,15 @@ def theta_evolve(
         (nonsymmetric with cross-step subspace recycling).
       M: optional preconditioner for S = I + θΔt·L (NOT for L — for
         moderate Δt·λ, S is well-conditioned and unpreconditioned
-        iterations stay low; for stiff Δt·λ ≫ 1 pass e.g. a multigrid
-        cycle built on S).
+        iterations stay low). For STIFF steps (Δt·λmax ≫ 1) on the
+        Poisson L, the library already owns the right cycle: with
+        σ = 1/(θΔt), S = θΔt·(L + σI), and
+        ``helmholtz_shifted_laplacian_preconditioner(n, kh2=σ,
+        shift=1.0)`` is multigrid for (L + σI) with closed-form
+        per-level smoothing bounds — pass
+        ``M = lambda r: cycle(r) / (theta * dt)`` (the scalar keeps
+        M ≈ S⁻¹; tests/test_evolve.py pins flat per-step iteration
+        counts under it).
       tol / max_iterations / restart / max_restarts / recycle_k:
         passed through to the per-step solver (tol keeps each
         solver's own semantics — absolute for cg/bicgstab, relative

@@ -247,3 +247,31 @@ def test_exponential_trajectory():
             np.exp(-(k + 1) * 0.3 * lam) * np.asarray(u0),
             atol=1e-12,
         )
+
+
+def test_stiff_steps_shifted_laplacian_preconditioner():
+    # dt*lam_max >> 1: S = theta*dt*(L + sigma I), sigma = 1/(theta
+    # dt) — the positively-shifted-Laplacian cycle IS multigrid for
+    # (L + sigma I); scaled by 1/(theta dt) it preconditions S and
+    # keeps per-step CG iterations low and flat.
+    n, dt, steps, theta = 96, 10.0, 5, 0.5
+    L = gt.poisson_operator(n)
+    rng = np.random.default_rng(12)
+    u0 = jnp.asarray(rng.standard_normal((n, n)))
+    sigma = 1.0 / (theta * dt)
+    cyc = gt.helmholtz_shifted_laplacian_preconditioner(
+        n, kh2=sigma, shift=1.0
+    )
+    M = lambda r: cyc(r) / (theta * dt)  # noqa: E731
+    plain = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, theta=theta,
+                            solver="cg", tol=1e-10)
+    prec = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, theta=theta,
+                           solver="cg", tol=1e-10, M=M)
+    assert bool(plain.converged) and bool(prec.converged)
+    np.testing.assert_allclose(
+        np.asarray(prec.u), np.asarray(plain.u), atol=1e-8
+    )
+    it_p = np.asarray(prec.iterations)
+    it_u = np.asarray(plain.iterations)
+    assert it_p.max() * 2 < it_u.max()
+    assert it_p.max() - it_p.min() <= 2  # flat across steps
