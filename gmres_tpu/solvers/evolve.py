@@ -101,8 +101,11 @@ def theta_evolve(
     max_restarts: int = 50,
     recycle_k: int = 10,
     save_trajectory: bool = False,
+    explicit: Optional[Callable] = None,
+    explicit_order: int = 2,
 ) -> EvolveResult:
-    """Integrate u_t + L u = f from u0 over n_steps of size dt.
+    """Integrate u_t + L u + C(u) = f from u0 over n_steps of size dt
+    (C = 0 unless ``explicit`` is given).
 
     Args:
       L: spatial operator callable (positive-definite convention, see
@@ -142,11 +145,26 @@ def theta_evolve(
         ``result.trajectory`` (n_steps × state memory — opt-in; the
         scan emits it as an output so there is still only ONE
         dispatch).
+      explicit: optional term C(u) — possibly NONLINEAR (Burgers'
+        u·∇u) or nonsymmetric (convection) — treated EXPLICITLY, so
+        the implicit solve keeps only L: split convection-diffusion
+        runs on CG with the SPD diffusion instead of
+        BiCGSTAB/GMRES on the full operator (the classic IMEX trade;
+        C is CFL-limited at Δt ≲ h/|b| where the implicit diffusion
+        is not, usually the acceptable constraint).
+      explicit_order: 2 (default) = Adams-Bashforth-2 on C
+        (−Δt(3/2·C(uₙ) − 1/2·C(uₙ₋₁)); with θ = 1/2 this is the
+        standard CNAB scheme, second order overall; the FIRST step
+        falls back to explicit Euler on C), or 1 = explicit Euler
+        every step.
     """
     if solver not in ("cg", "bicgstab", "gmres", "gcrodr"):
         raise ValueError(f"unknown solver {solver!r}")
     if not 0.0 <= theta <= 1.0:
         raise ValueError(f"theta must be in [0, 1], got {theta}")
+    if explicit_order not in (1, 2):
+        raise ValueError(f"explicit_order must be 1 or 2, got "
+                         f"{explicit_order}")
 
     from gmres_tpu.solvers.bicgstab import bicgstab
     from gmres_tpu.solvers.cg import cg
@@ -173,13 +191,25 @@ def theta_evolve(
         def f_avg(t_n):
             return f_const
 
-    def step(carry, t_n):
-        u, rec = carry
+    def step(carry, xs):
+        t_n, idx = xs
+        u, rec, c_prev = carry
         # Explicit part: skip the wasted matvec for backward Euler.
         if theta == 1.0:
             rhs = u + dt_c * f_avg(t_n)
         else:
             rhs = u - ((1.0 - th) * dt_c) * L(u) + dt_c * f_avg(t_n)
+        if explicit is not None:
+            c_now = explicit(u)
+            if explicit_order == 2:
+                # AB2; first step has no history — explicit Euler.
+                c_hat = jnp.where(
+                    idx == 0, c_now, 1.5 * c_now - 0.5 * c_prev
+                )
+            else:
+                c_hat = c_now
+            rhs = rhs - dt_c * c_hat
+            c_prev = c_now
         if solver == "cg":
             res = cg(shifted, rhs, tol=tol,
                      max_iterations=max_iterations, M=M, x0=u)
@@ -205,7 +235,7 @@ def theta_evolve(
                 + res.iterations
             )
         snap = res.x if save_trajectory else jnp.zeros((0,), dtype)
-        return (res.x, rec), (
+        return (res.x, rec, c_prev), (
             jnp.int32(inner),
             jnp.asarray(res.residual, rdtype),
             jnp.int32(res.status),
@@ -218,9 +248,11 @@ def theta_evolve(
         jnp.zeros((recycle_k,) + u0.shape, dtype)
         if solver == "gcrodr" else jnp.zeros((0,), dtype)
     )
+    c0 = (jnp.zeros_like(u0) if explicit is not None
+          else jnp.zeros((0,), dtype))
     ts = t0 + dt_c * jnp.arange(n_steps, dtype=rdtype)
-    (u, _), (iters, resids, statuses, traj) = jax.lax.scan(
-        step, (u0, rec0), ts
+    (u, _, _), (iters, resids, statuses, traj) = jax.lax.scan(
+        step, (u0, rec0, c0), (ts, jnp.arange(n_steps))
     )
     return EvolveResult(
         u=u,

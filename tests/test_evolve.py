@@ -275,3 +275,93 @@ def test_stiff_steps_shifted_laplacian_preconditioner():
     it_u = np.asarray(plain.iterations)
     assert it_p.max() * 2 < it_u.max()
     assert it_p.max() - it_p.min() <= 2  # flat across steps
+
+
+class TestIMEX:
+    """IMEX splitting: explicit (possibly nonlinear) C, implicit SPD
+    L — per-step solves stay on CG."""
+
+    def _convdiff_split(self, n):
+        L_full = gt.convection_diffusion_operator(n, 0.6, 0.3)
+        L_diff = gt.poisson_operator(n)
+
+        def C(v):
+            return L_full(v) - gt.poisson_apply(v)
+
+        return L_full, L_diff, C
+
+    def test_matches_full_implicit_convdiff(self):
+        # Linear splitting: CNAB (theta=1/2 + AB2) is 2nd order like
+        # full CN, so against a fine reference both land close.
+        n, T, steps = 32, 1.0, 40
+        L_full, L_diff, C = self._convdiff_split(n)
+        u0 = jnp.asarray(
+            np.random.default_rng(3).standard_normal((n, n))
+        )
+        ref = gt.theta_evolve(L_full, u0, dt=T / 320, n_steps=320,
+                              theta=0.5, solver="gmres", tol=1e-12)
+        full = gt.theta_evolve(L_full, u0, dt=T / steps, n_steps=steps,
+                               theta=0.5, solver="gmres", tol=1e-12)
+        imex = gt.theta_evolve(L_diff, u0, dt=T / steps, n_steps=steps,
+                               theta=0.5, solver="cg", tol=1e-12,
+                               explicit=C)
+        assert bool(imex.converged)
+        e_full = float(jnp.max(jnp.abs(full.u - ref.u)))
+        e_imex = float(jnp.max(jnp.abs(imex.u - ref.u)))
+        # Same order; the splitting constant is allowed a small factor.
+        assert e_imex < 10 * e_full + 1e-10
+
+    def test_second_order_self_convergence(self):
+        n, T = 32, 1.0
+        _, L_diff, C = self._convdiff_split(n)
+        u0 = jnp.asarray(
+            np.random.default_rng(4).standard_normal((n, n))
+        )
+
+        def run(steps, order):
+            return gt.theta_evolve(
+                L_diff, u0, dt=T / steps, n_steps=steps, theta=0.5,
+                solver="cg", tol=1e-13, explicit=C,
+                explicit_order=order,
+            ).u
+
+        ref = run(256, 2)
+        e1 = float(jnp.max(jnp.abs(run(16, 2) - ref)))
+        e2 = float(jnp.max(jnp.abs(run(32, 2) - ref)))
+        assert e1 / e2 > 3.0  # CNAB: 2nd order
+        f1 = float(jnp.max(jnp.abs(run(16, 1) - ref)))
+        f2 = float(jnp.max(jnp.abs(run(32, 1) - ref)))
+        assert 1.5 < f1 / f2 < 3.0  # explicit Euler on C: 1st order
+
+    def test_nonlinear_burgers(self):
+        # 2-D Burgers-type: u_t + u*u_x = nu * Lap u. The nonlinear
+        # convection is explicit; each step stays an SPD solve.
+        n, nu, T, steps = 48, 0.5, 0.5, 64
+        L = gt.poisson_operator(n)
+
+        def C(u):
+            up = jnp.pad(u, ((0, 0), (1, 1)))
+            return u * 0.5 * (up[:, 2:] - up[:, :-2]) / nu
+
+        k = jnp.arange(1, n + 1, dtype=jnp.float64)
+        u0 = jnp.outer(jnp.sin(jnp.pi * k / (n + 1)),
+                       jnp.sin(jnp.pi * k / (n + 1)))
+
+        def run(s):
+            r = gt.theta_evolve(L, u0, dt=T / s, n_steps=s,
+                                theta=0.5, solver="cg", tol=1e-13,
+                                explicit=C)
+            assert bool(r.converged)
+            return r.u
+
+        ref = run(256)
+        e1 = float(jnp.max(jnp.abs(run(steps) - ref)))
+        e2 = float(jnp.max(jnp.abs(run(2 * steps) - ref)))
+        assert np.isfinite(e1) and e1 < 1e-3  # stable, accurate
+        assert e1 / e2 > 3.0  # 2nd order on the nonlinear problem
+
+    def test_validation(self):
+        L = gt.poisson_operator(8)
+        with pytest.raises(ValueError, match="explicit_order"):
+            gt.theta_evolve(L, jnp.zeros((8, 8)), dt=0.1, n_steps=2,
+                            explicit=lambda u: u, explicit_order=3)
