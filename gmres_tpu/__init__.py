@@ -128,6 +128,7 @@ from gmres_tpu.solvers.fgmres import fgmres
 from gmres_tpu.solvers.lgmres import lgmres
 from gmres_tpu.solvers.gmres_dr import gmres_dr
 from gmres_tpu.solvers.block_gmres import block_gmres
+from gmres_tpu.solvers.block_cg import BlockCGResult, block_cg
 from gmres_tpu.ops.sparse import (
     BSRMatrix,
     COOMatrix,
@@ -166,6 +167,8 @@ __all__ = [
     "lgmres",
     "gmres_dr",
     "block_gmres",
+    "block_cg",
+    "BlockCGResult",
     "sstep_gmres",
     "lanczos_bounds",
     "power_iteration_bound",
