@@ -57,6 +57,7 @@ from gmres_tpu.solvers.lobpcg import lobpcg
 from gmres_tpu.solvers.chebyshev import chebyshev_solve
 from gmres_tpu.solvers.lsqr import lsqr
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
+from gmres_tpu.precond.nystrom import nystrom_preconditioner
 from gmres_tpu.precond.deflation import (
     coarse_space_preconditioner,
     dirichlet_poisson_modes,
@@ -196,6 +197,7 @@ __all__ = [
     "gcrodr",
     "chebyshev_preconditioner",
     "coarse_space_preconditioner",
+    "nystrom_preconditioner",
     "dirichlet_poisson_modes",
     "gmres_polynomial_preconditioner",
     "poisson_multigrid_preconditioner",
