@@ -55,6 +55,7 @@ def bicgstab(
     x0: Optional[Any] = None,
     reliable: bool = True,
     replace_delta: Optional[float] = None,
+    rtol: Optional[float] = None,
 ) -> SolveResult:
     """Solve A x = b (A nonsymmetric) by (preconditioned) BiCGSTAB.
 
@@ -74,7 +75,13 @@ def bicgstab(
       instead of a phantom. Exit certification (below) remains the
       final safety net.
     replace_delta: replacement threshold δ (default √ε of the dtype).
+    rtol: raises the absolute target to max(tol, rtol·‖b‖) — the
+      scale-free stop (tol stays the reference's absolute semantics,
+      bicgstab.f90:40, and acts as the attainable-accuracy floor).
     """
+    if rtol is not None:
+        nb = jnp.sqrt(jnp.real(tree_vdot(b, b)))
+        tol = jnp.maximum(jnp.asarray(tol, nb.dtype), rtol * nb)
     if x0 is None:
         x = tree_zeros_like(b)
         r = b

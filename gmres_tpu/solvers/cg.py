@@ -50,12 +50,19 @@ def cg(
     M: Optional[Preconditioner] = None,
     x0: Optional[Any] = None,
     variant: str = "classic",
+    rtol: Optional[float] = None,
 ) -> SolveResult:
     """Solve A x = b (A SPD) by (preconditioned) conjugate gradients.
 
     A and M are callables over pytree vectors; M approximates A⁻¹
     (left preconditioning, cg.f90:154-234). x0 defaults to zeros (the
     reference always starts at zero, cg.f90:27).
+
+    tol is ABSOLUTE ‖r‖₂ (the reference's semantics, cg.f90:37 —
+    PARITY.md quirk policy keeps divergences as explicit options);
+    rtol, when given, raises the target to max(tol, rtol·‖b‖) — the
+    scale-free stop every caller otherwise hand-rolls, with tol
+    acting as the attainable-accuracy floor.
 
     variant: "classic" (reference-faithful: 2-3 reduction points per
     iteration, cg.f90:188-231) or "pipelined" (Ghysels-Vanroose: ONE
@@ -67,6 +74,9 @@ def cg(
     reference's 1e-9 on well-conditioned systems, prefer classic for
     tol near machine epsilon.
     """
+    if rtol is not None:
+        nb = jnp.sqrt(jnp.real(tree_vdot(b, b)))
+        tol = jnp.maximum(jnp.asarray(tol, nb.dtype), rtol * nb)
     if variant == "pipelined":
         return _pipelined_cg(A, b, tol=tol,
                              max_iterations=max_iterations, M=M, x0=x0)

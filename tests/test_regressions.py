@@ -166,3 +166,34 @@ def test_mixed_mode_scale_invariance():
         assert int(res.status) == gt.SolverStatus.CONVERGED, s
         np.testing.assert_allclose(np.asarray(res.x) / s, 1.0,
                                    atol=1e-6, err_msg=str(s))
+
+
+def test_rtol_option_cg_bicgstab():
+    """rtol raises the absolute target to max(tol, rtol*||b||) — the
+    scale-free stop callers otherwise hand-roll (tol remains the
+    reference's absolute semantics as the floor)."""
+    import numpy as np
+
+    n = 48
+    A = gt.poisson_operator(n)
+    x_true = 1e6 * jnp.ones((n, n), jnp.float64)  # huge-scale system
+    b = A(x_true)
+    nb = float(jnp.linalg.norm(b))
+    # Absolute 1e-9 on ||b||~1e8 would be ~1e-17 relative: below
+    # attainable accuracy (certified BREAKDOWN). rtol=1e-9 converges.
+    res = gt.cg(A, b, tol=1e-9, rtol=1e-9)
+    assert bool(res.converged)
+    assert float(res.residual) < 1e-9 * nb
+    np.testing.assert_allclose(
+        np.asarray(res.x) / 1e6, np.ones((n, n)), rtol=1e-7
+    )
+    Ac = gt.convection_diffusion_operator(n, 0.6, 0.3)
+    bc = Ac(x_true)
+    res2 = gt.bicgstab(Ac, bc, tol=1e-9, rtol=1e-9)
+    assert bool(res2.converged)
+    assert float(res2.residual) < 1e-9 * float(jnp.linalg.norm(bc))
+    # The floor: with rtol tiny, tol dominates unchanged (reference
+    # semantics preserved).
+    small = gt.cg(A, A(jnp.ones((n, n))), tol=1e-9, rtol=1e-30)
+    assert bool(small.converged)
+    assert float(small.residual) < 1e-9
