@@ -735,19 +735,42 @@ def cmd_evolve(args):
         raise SystemExit(f"unknown model {args.model!r}")
     rng = np.random.default_rng(0)
     u0 = jnp.asarray(rng.standard_normal((n, n)))
-    fn = jax.jit(lambda u: gt.theta_evolve(
-        L, u, dt=args.dt, n_steps=args.steps, theta=args.theta,
-        solver=args.solver, tol=args.tol, restart=args.restart,
-        recycle_k=args.k, max_restarts=args.max_restarts,
-        max_iterations=args.max_iterations,
-    ))
-    res, dt_wall = _timed(fn, u0)
-    iters = np.asarray(res.iterations)
-    shim = _types.SimpleNamespace(
-        x=res.u, iterations=int(res.inner_total),
-        residual=float(np.max(np.asarray(res.residuals))),
-        status=res.status,
-    )
+    if args.solver == "expm":
+        # Krylov exponential integrator (solvers/evolve.py:
+        # exponential_evolve) — SPD models only; spectrally exact in
+        # time, per-step cost = one Arnoldi build of width
+        # --expm-steps.
+        if args.model != "heat":
+            raise SystemExit("--solver expm needs the SPD heat model")
+        fn = jax.jit(lambda u: gt.exponential_evolve(
+            L, u, dt=args.dt, n_steps=args.steps,
+            steps=args.expm_steps,
+        ))
+        res, dt_wall = _timed(fn, u0)
+        shim = _types.SimpleNamespace(
+            x=res.u,
+            iterations=args.expm_steps * args.steps,
+            residual=float(np.max(np.asarray(res.error_estimates))),
+            status=jnp.int32(0),
+        )
+        iters = np.full((args.steps,), args.expm_steps)
+        res = _types.SimpleNamespace(
+            converged=True, **vars(shim)
+        )
+    else:
+        fn = jax.jit(lambda u: gt.theta_evolve(
+            L, u, dt=args.dt, n_steps=args.steps, theta=args.theta,
+            solver=args.solver, tol=args.tol, restart=args.restart,
+            recycle_k=args.k, max_restarts=args.max_restarts,
+            max_iterations=args.max_iterations,
+        ))
+        res, dt_wall = _timed(fn, u0)
+        iters = np.asarray(res.iterations)
+        shim = _types.SimpleNamespace(
+            x=res.u, iterations=int(res.inner_total),
+            residual=float(np.max(np.asarray(res.residuals))),
+            status=res.status,
+        )
     _emit(
         [
             record_from_result(
@@ -1317,7 +1340,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("evolve", cmd_evolve, nsize=256, dt=1.0, steps=50, theta=0.5,
         model="convdiff", gamma_x=2.0, gamma_y=1.0, solver="gcrodr",
         tol=1e-9, restart=40, k=10, max_restarts=100,
-        max_iterations=2000)
+        max_iterations=2000, expm_steps=30)
     return p
 
 

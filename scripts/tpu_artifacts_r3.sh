@@ -52,6 +52,11 @@ timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
   --tol 1e-9 --precond none --inner gcrodr --max-newton 50 \
   --jsonl artifacts/bratu_tpu.jsonl
 
+# Krylov exponential integrator: heat trajectory, spectrally exact
+timeout 1800 python -m benchmarks.cli evolve --model heat \
+  --solver expm --nsize 512 --steps 50 --dt 0.5 --expm-steps 30 \
+  --jsonl artifacts/evolve_tpu.jsonl
+
 # Heterogeneous media: high-contrast inclusions, 4 preconditioner rows
 timeout 2400 python -m benchmarks.cli varcoef --nsize 512 \
   --contrast 1e5 --tol 1e-9 --jsonl artifacts/varcoef_tpu.jsonl
