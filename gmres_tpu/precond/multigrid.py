@@ -241,9 +241,20 @@ def convection_diffusion_multigrid_preconditioner(
     internal_dtype=None,
     max_levels: int | None = None,
     smoother: str = "jacobi",
+    shift: float = 0.0,
 ) -> Callable:
     """V-cycle preconditioner for the NONSYMMETRIC convection-diffusion
     stencil (models/convection_diffusion.py).
+
+    shift: zeroth-order term σ — the cycle approximates
+    (A_convdiff + σI)⁻¹. Like the shifted-Laplacian cycle's shift
+    (helmholtz_shifted_laplacian_preconditioner) it is h²-scaled, so
+    it QUADRUPLES per coarsening: level l adds σ·4ˡ to the diagonal
+    coefficient. The use case is implicit time stepping on the
+    convection-diffusion operator: S = I + θΔt·A = θΔt·(A + σI) with
+    σ = 1/(θΔt) — build with ``shift=σ`` and wrap
+    ``lambda r: cycle(r)/(θΔt)`` (see theta_evolve's M docs; a shift
+    also only ever HELPS the smoothers — more diagonal dominance).
 
     Differences from the Poisson cycle, all forced by nonsymmetry:
 
@@ -317,6 +328,13 @@ def convection_diffusion_multigrid_preconditioner(
         else convection_diffusion_coefs_upwind(g_x, g_y)
         for (_, g_x, g_y, cen) in levels
     ]
+    if shift:
+        # h²-scaled zeroth-order term: quadruples per coarsening
+        # (same scaling law as the Helmholtz cycle's shift).
+        coefs = [
+            (c0 + float(shift) * 4.0 ** l, cw, ce, cs, cn)
+            for l, (c0, cw, ce, cs, cn) in enumerate(coefs)
+        ]
 
     if smoother not in ("jacobi", "chebyshev", "auto"):
         raise ValueError(f"unknown smoother {smoother!r}")

@@ -365,3 +365,30 @@ class TestIMEX:
         with pytest.raises(ValueError, match="explicit_order"):
             gt.theta_evolve(L, jnp.zeros((8, 8)), dt=0.1, n_steps=2,
                             explicit=lambda u: u, explicit_order=3)
+
+
+def test_stiff_convdiff_shifted_mg():
+    # Nonsymmetric stiff steps: the convdiff cycle's shift= builds
+    # multigrid for (A + sigma I) = S/(theta dt); per-step BiCGSTAB
+    # iterations drop well under the unpreconditioned run and stay
+    # flat across steps.
+    n, dt, steps, theta = 64, 8.0, 5, 0.5
+    L = gt.convection_diffusion_operator(n, 0.4, 0.2)
+    rng = np.random.default_rng(13)
+    u0 = jnp.asarray(rng.standard_normal((n, n)))
+    sigma = 1.0 / (theta * dt)
+    cyc = gt.convection_diffusion_multigrid_preconditioner(
+        n, 0.4, 0.2, shift=sigma
+    )
+    M = lambda r: cyc(r) / (theta * dt)  # noqa: E731
+    plain = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, theta=theta,
+                            solver="bicgstab", tol=1e-9)
+    prec = gt.theta_evolve(L, u0, dt=dt, n_steps=steps, theta=theta,
+                           solver="bicgstab", tol=1e-9, M=M)
+    assert bool(plain.converged) and bool(prec.converged)
+    np.testing.assert_allclose(
+        np.asarray(prec.u), np.asarray(plain.u), atol=1e-7
+    )
+    it_p = np.asarray(prec.iterations)
+    assert it_p.max() * 2 < np.asarray(plain.iterations).max()
+    assert it_p.max() - it_p.min() <= 2
