@@ -55,6 +55,7 @@ from gmres_tpu.solvers.sstep import sstep_gmres
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
 from gmres_tpu.solvers.lobpcg import lobpcg
 from gmres_tpu.solvers.chebyshev import chebyshev_solve
+from gmres_tpu.solvers.lsmr import lsmr
 from gmres_tpu.solvers.lsqr import lsqr
 from gmres_tpu.precond.chebyshev import chebyshev_preconditioner
 from gmres_tpu.precond.nystrom import nystrom_preconditioner
@@ -175,6 +176,7 @@ __all__ = [
     "power_iteration_bound",
     "lobpcg",
     "chebyshev_solve",
+    "lsmr",
     "lsqr",
     "newton_krylov",
     "theta_evolve",
