@@ -286,6 +286,16 @@ def convection_diffusion_multigrid_preconditioner(
       (solvers/lanczos.py:estimate_jacobi_omega) — the C10 estimation
       capability extended beyond SPD; the numeric default 0.7 skips
       the setup matvecs.
+    * **smoother="rbgs"**: red-black Gauss-Seidel — checkerboard
+      parity masks (broadcasted_iota), so a sweep is two masked
+      stencil applications with no reordering or gathers, exactly a
+      Gauss-Seidel iteration in red-black ordering. Needs no spectral
+      information and beats damped Jacobi at equal stencil
+      applications on every M-matrix level (measured 2-sweep ρ = 0.39
+      vs 3-step Jacobi 0.62 at γ=(2,1) upwind), but DIVERGES on
+      convection-dominated central levels (ρ = 1.13 there) — so it
+      auto-falls-back to damped Jacobi per level where the central
+      discretization exceeds the Péclet threshold.
 
     TPU routing mirrors the Poisson cycle: single-device f32
     applications take the VMEM/blocked trapezoidal Pallas kernels (the
@@ -336,7 +346,7 @@ def convection_diffusion_multigrid_preconditioner(
             for l, (c0, cw, ce, cs, cn) in enumerate(coefs)
         ]
 
-    if smoother not in ("jacobi", "chebyshev", "auto"):
+    if smoother not in ("jacobi", "chebyshev", "auto", "rbgs"):
         raise ValueError(f"unknown smoother {smoother!r}")
 
     def _level_ritz():
@@ -482,9 +492,64 @@ def convection_diffusion_multigrid_preconditioner(
             use_pallas=("auto" if pallas_ok else "never"),
         )(r)
 
+    def rbgs_smooth(r, l, iters):
+        # Red-black Gauss-Seidel: one 4-color-free sweep = red update
+        # then black update, each a masked-Jacobi step whose stencil
+        # only reads the OTHER color — so a full sweep is an exact
+        # Gauss-Seidel iteration in checkerboard ordering, at the cost
+        # of 2 stencil applications. TPU-native form: parity masks from
+        # broadcasted_iota (elementwise, fused by XLA into the stencil's
+        # adds — no gathers, no reordering, shards like the stencil).
+        # Smoothing is genuinely stronger than damped Jacobi (Poisson
+        # smoothing factor 0.25/sweep vs 0.6; measured on convdiff in
+        # tests/test_multigrid.py::TestNonsymmetricSmoothing), and
+        # unlike Chebyshev it needs no spectral interval, so it is safe
+        # on the complex spectra where real-axis Chebyshev diverges.
+        # jnp-only route (the two masked applies fuse; a dedicated
+        # Pallas kernel would only re-derive the same VMEM traffic).
+        import jax
+
+        c0 = coefs[l][0]
+        ii = jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+        red = ((ii + jj) % 2) == 0
+
+        def half(e, mask):
+            resid = r - apply_l(e, l)
+            return e + jnp.where(mask, resid / c0, 0.0)
+
+        def sweep(e):
+            return half(half(e, red), ~red)
+
+        # first red half-step from e=0 is just the masked scaled r
+        e = half(jnp.where(red, r / c0, 0.0), ~red)
+        if iters <= 4:  # short smoothers: unrolled fuses best
+            for _ in range(iters - 1):
+                e = sweep(e)
+            return e
+        return jax.lax.fori_loop(
+            0, iters - 1, lambda _, ee: sweep(ee), e
+        )
+
+    # rbgs is only a contraction where the level's stencil is an
+    # M-matrix: upwind levels always, central levels only below the
+    # Péclet threshold. Measured at 32² (pinned in
+    # tests/test_multigrid.py): γ=(2,1) central rbgs ρ(I−SA) = 1.13
+    # (diverges; damped Jacobi 0.67) vs upwind rbgs 0.62; at equal
+    # stencil applications rbgs beats Jacobi on every M-matrix level
+    # (2 sweeps 0.39 vs 3-step Jacobi 0.62 at γ=(2,1) upwind). So
+    # smoother="rbgs" falls back to damped Jacobi per-level on unsafe
+    # central levels.
+    rbgs_ok = [
+        (not cen) or max(abs(g_x), abs(g_y)) < central_gamma_max
+        for (_, g_x, g_y, cen) in levels
+    ]
+
     def smooth(r, l, iters):
         import jax
 
+        if smoother == "rbgs" and rbgs_ok[l]:
+            return rbgs_smooth(r, l, iters)
         iv = coarse_ival if l == n_levels - 1 else cheb_ivals[l]
         if iv is not None:
             return cheb_apply(r, l, iters, iv)
@@ -538,10 +603,13 @@ def convection_diffusion_multigrid_preconditioner(
     ]
     m_inv.omegas = omegas
     m_inv.smoothers = [
-        "chebyshev" if (
-            (coarse_ival if l == n_levels - 1 else cheb_ivals[l])
-            is not None
-        ) else "jacobi"
+        ("rbgs" if rbgs_ok[l] else "jacobi") if smoother == "rbgs"
+        else (
+            "chebyshev" if (
+                (coarse_ival if l == n_levels - 1 else cheb_ivals[l])
+                is not None
+            ) else "jacobi"
+        )
         for l in range(n_levels)
     ]
     m_inv.cheb_intervals = cheb_ivals
