@@ -297,6 +297,13 @@ def cmd_convdiff(args):
                 max_iterations=args.max_iterations, M=m_inv,
             )
         )
+    elif args.solver == "cgs":
+        fn = jax.jit(
+            lambda bb: gt.cgs(
+                op, bb, tol=args.tol,
+                max_iterations=args.max_iterations, M=m_inv,
+            )
+        )
     elif args.solver == "idrs":
         fn = jax.jit(
             lambda bb: gt.idrs(
@@ -341,7 +348,7 @@ def cmd_convdiff(args):
         # closing minimal-residual step).
         matvecs = (args.idrs_s + 1) * int(res.iterations)
     else:
-        # bicgstab/tfqmr: 2 matvecs per iteration; qmr: 1 A and 1 A^T
+        # bicgstab/tfqmr/cgs: 2 matvecs per iteration; qmr: 1 A and 1 A^T
         # per iteration — also 2 operator-application units.
         # (+1 exit certification, + any reliable-update replacements,
         # excluded as setup-like costs.)

@@ -46,6 +46,7 @@ from gmres_tpu.types import (
 from gmres_tpu.solvers.cg import cg
 from gmres_tpu.solvers.bicgstab import bicgstab
 from gmres_tpu.solvers.bicgstabl import bicgstabl
+from gmres_tpu.solvers.cgs import cgs
 from gmres_tpu.solvers.tfqmr import tfqmr
 from gmres_tpu.solvers.qmr import qmr
 from gmres_tpu.solvers.idrs import idrs
@@ -160,6 +161,7 @@ __all__ = [
     "cg",
     "bicgstab",
     "bicgstabl",
+    "cgs",
     "tfqmr",
     "qmr",
     "idrs",
