@@ -65,6 +65,7 @@ from gmres_tpu.precond.deflation import (
     dirichlet_poisson_modes,
 )
 from gmres_tpu.precond.polynomial import gmres_polynomial_preconditioner
+from gmres_tpu.precond.spai import spai_matrix, spai_preconditioner
 from gmres_tpu.precond.multigrid import (
     anisotropic_multigrid_preconditioner,
     convection_diffusion_multigrid_preconditioner,
@@ -204,6 +205,8 @@ __all__ = [
     "nystrom_preconditioner",
     "dirichlet_poisson_modes",
     "gmres_polynomial_preconditioner",
+    "spai_matrix",
+    "spai_preconditioner",
     "poisson_multigrid_preconditioner",
     "anisotropic_multigrid_preconditioner",
     "anisotropic_operator",

@@ -27,9 +27,10 @@ Cost model: the batched one-hot gather materializes
 (n, w_c², w_r, w_c) booleans — fine through w ≈ 16 at n ≈ 10⁵; for
 wider stencils construct in column chunks (``chunk=``).  Quality: with
 pattern(M) = pattern(A), SPAI reproduces A⁻¹ EXACTLY whenever A⁻¹'s
-support lies inside A's (e.g. block-diagonal A — tested), and on
-irregular general matrices it is the standard fallback when nothing
-structural is known.
+support lies inside A's (e.g. block-diagonal A — pinned by
+``tests/test_spai.py``, alongside a complex least-squares oracle and a
+sharded-apply parity test), and on irregular general matrices it is
+the standard fallback when nothing structural is known.
 """
 
 from __future__ import annotations
@@ -64,19 +65,23 @@ def _to_host_csr(a) -> tuple[np.ndarray, np.ndarray, np.ndarray, tuple]:
 
 
 def _padded_ell(data, indices, indptr, n, with_data=True):
-    """Host-side ELL arrays (values, cols, valid-mask) at max width."""
+    """Host-side ELL arrays (values, cols, valid-mask) at max width.
+
+    Fully vectorized (no per-row Python loop): the slot of nnz entry t
+    within its row is t − indptr[row(t)], a single scatter."""
     counts = np.diff(indptr)
     w = max(int(counts.max()) if counts.size else 1, 1)
     d = np.zeros((n, w), dtype=data.dtype)
     c = np.zeros((n, w), dtype=np.int32)
     v = np.zeros((n, w), dtype=bool)
-    for i in range(n):
-        lo, hi = indptr[i], indptr[i + 1]
-        k = hi - lo
+    nnz = len(indices)
+    if nnz:
+        rows = np.repeat(np.arange(n), counts)
+        slot = np.arange(nnz) - indptr[rows]
         if with_data:
-            d[i, :k] = data[lo:hi]
-        c[i, :k] = indices[lo:hi]
-        v[i, :k] = True
+            d[rows, slot] = data
+        c[rows, slot] = indices
+        v[rows, slot] = True
     return d, c, v
 
 
@@ -125,15 +130,19 @@ def _solve_columns(a_d, a_c, a_v, at_c, at_v, cols, *, n, reg):
         )
         ahat = ahat * row_valid[:, None].astype(rd.dtype)
         e = ((ts == j) & row_valid).astype(rd.dtype)
-        # Regularized normal equations: G is PSD with zero rows/cols at
-        # padded support slots; λ·(tr G / w_c) makes it SPD without
-        # perturbing the solution beyond O(λ) relative.
-        g = jnp.matmul(ahat.T, ahat, precision=hi)
+        # Regularized CONJUGATE-transpose normal equations G = ÂᴴÂ,
+        # rhs = Âᴴe — for complex A the plain transpose minimizes the
+        # wrong functional and misses the Grote–Huckle least-squares
+        # minimizer (the conj is a no-op XLA elides for real dtypes).
+        # G is PSD Hermitian with zero rows/cols at padded support
+        # slots; λ·(tr G / w_c) makes it HPD without perturbing the
+        # solution beyond O(λ) relative.
+        g = jnp.matmul(ahat.conj().T, ahat, precision=hi)
         scale = jnp.maximum(
-            jnp.trace(g) / w_c, jnp.finfo(rd.dtype).tiny
+            jnp.trace(g).real / w_c, jnp.finfo(rd.dtype).tiny
         )
         g = g + (reg * scale) * eye
-        rhs = jnp.matmul(ahat.T, e, precision=hi)
+        rhs = jnp.matmul(ahat.conj().T, e, precision=hi)
         m = jnp.linalg.solve(g, rhs)
         return m * s_valid.astype(rd.dtype)
 
@@ -185,19 +194,21 @@ def spai_matrix(
     )
     # Scatter column values (vals[j, b] = M[at_c[j, b], j]) into the
     # row-ELL of M. pattern(M) = pattern(A) ⇒ row counts match A's.
+    # Vectorized: stable-sort the valid (row, col, val) triples by row,
+    # then each entry's slot is its rank within the row group (index
+    # minus the group's first occurrence, via searchsorted).
     w_r = a_c.shape[1]
     m_d = np.zeros((n, w_r), dtype=vals.dtype)
     m_c = np.zeros((n, w_r), dtype=np.int32)
-    fill = np.zeros(n, dtype=np.int64)
-    for j in range(n):
-        for b in range(at_c.shape[1]):
-            if not at_v[j, b]:
-                continue
-            i = int(at_c[j, b])
-            k = fill[i]
-            m_d[i, k] = vals[j, b]
-            m_c[i, k] = j
-            fill[i] += 1
+    jj, bb = np.nonzero(at_v)
+    i_arr = at_c[jj, bb]
+    order = np.argsort(i_arr, kind="stable")
+    i_sorted = i_arr[order]
+    slot = np.arange(len(i_sorted)) - np.searchsorted(
+        i_sorted, i_sorted, side="left"
+    )
+    m_d[i_sorted, slot] = vals[jj, bb][order]
+    m_c[i_sorted, slot] = jj[order]
     return ELLMatrix(
         data=jnp.asarray(m_d), cols=jnp.asarray(m_c), shape=shape
     )
