@@ -242,9 +242,26 @@ def convection_diffusion_multigrid_preconditioner(
     max_levels: int | None = None,
     smoother: str = "jacobi",
     shift: float = 0.0,
+    transpose: bool = False,
 ) -> Callable:
     """V-cycle preconditioner for the NONSYMMETRIC convection-diffusion
     stencil (models/convection_diffusion.py).
+
+    transpose: build the EXACT transpose Mᵀ of the cycle this
+    constructor returns with ``transpose=False`` — the un-fencing of
+    the transpose-using solvers (QMR) from the multigrid family, which
+    ``jax.linear_transpose`` cannot derive through fori/while smoothing
+    loops. The transpose is mechanical because every building block is
+    self-adjoint or swaps with its mirror: ``restrict_sum`` and
+    ``prolong_repeat`` are mutual adjoints (R = Pᵀ), the Jacobi and
+    Chebyshev smoothers are real-scalar polynomials in the level
+    operator (transpose = same polynomial in A_lᵀ), the truncated
+    constant stencil transposes by swapping W↔E and S↔N, and
+    red-black Gauss-Seidel transposes to black-red order. So Mᵀ = the
+    same V-cycle over the transposed level stencils with pre/post
+    smoother counts swapped and rbgs parity flipped (pinned to the
+    dense transpose in ``tests/test_multigrid.py``; QMR integration in
+    ``tests/test_qmr.py``).
 
     shift: zeroth-order term σ — the cycle approximates
     (A_convdiff + σI)⁻¹. Like the shifted-Laplacian cycle's shift
@@ -345,6 +362,17 @@ def convection_diffusion_multigrid_preconditioner(
             (c0 + float(shift) * 4.0 ** l, cw, ce, cs, cn)
             for l, (c0, cw, ce, cs, cn) in enumerate(coefs)
         ]
+
+    rb_parity = 0
+    if transpose:
+        # (c0,cw,ce,cs,cn) → (c0,ce,cw,cn,cs): the adjoint of the
+        # truncated stencil; smoother-count swap and color flip make
+        # the whole cycle the exact transpose (see docstring).
+        coefs = [
+            (c0, ce, cw, cn, cs) for (c0, cw, ce, cs, cn) in coefs
+        ]
+        pre_smooth, post_smooth = post_smooth, pre_smooth
+        rb_parity = 1
 
     if smoother not in ("jacobi", "chebyshev", "auto", "rbgs"):
         raise ValueError(f"unknown smoother {smoother!r}")
@@ -512,7 +540,7 @@ def convection_diffusion_multigrid_preconditioner(
         c0 = coefs[l][0]
         ii = jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
-        red = ((ii + jj) % 2) == 0
+        red = ((ii + jj) % 2) == rb_parity
 
         def half(e, mask):
             resid = r - apply_l(e, l)

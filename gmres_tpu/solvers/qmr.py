@@ -26,9 +26,11 @@ sharded shard_map operators (XLA reverses the collectives) — where
 the reference architecture would hand-maintain a second routine per
 operator (interfaces.f90:12-18 has no transpose slot at all). Caveat:
 lax.fori_loop/while_loop have no transpose rule, so preconditioners
-built on them (the multigrid cycles) need an explicit ``AT=`` — or
-use a transposable M (polynomial/Chebyshev application loops are
-Python-unrolled and transpose mechanically).
+built on them (the multigrid cycles) cannot be derived — but their
+CONSTRUCTORS can build the exact transpose
+(``convection_diffusion_multigrid_preconditioner(transpose=True)``),
+passed here as ``MT=``; or use a transposable M (polynomial/Chebyshev
+application loops are Python-unrolled and transpose mechanically).
 
 TPU shape: one ``lax.while_loop``; per iteration 2 long-vector
 operator applications (A p, Aᵀ q) and 3 reduction phases (δ = wᵀv;
@@ -65,6 +67,7 @@ def qmr(
     M: Optional[Preconditioner] = None,
     x0: Optional[Any] = None,
     AT=None,
+    MT=None,
 ) -> SolveResult:
     """Solve A x = b (A real nonsymmetric) by QMR.
 
@@ -79,22 +82,39 @@ def qmr(
       max_iterations: Lanczos step cap.
       M: optional left preconditioner — the solve runs on M∘A with
         its derived transpose. M must be TRANSPOSABLE by
-        ``jax.linear_transpose`` (no fori/while loops inside — the
-        multigrid cycles are not; pass ``AT=`` for those).
+        ``jax.linear_transpose`` (no fori/while loops inside) — for
+        loop-built cycles pass ``MT=`` (the multigrid constructors
+        build it: ``convection_diffusion_multigrid_preconditioner(...,
+        transpose=True)``) or ``AT=``.
       x0: initial guess (zeros default).
       AT: optional transpose callable of the PRECONDITIONED operator
         (M∘A)ᵀ; derived when omitted.
+      MT: optional transpose callable Mᵀ of the preconditioner alone —
+        the ergonomic route for non-linear-transposable M: A's
+        transpose is still DERIVED (stencils and sparse operators
+        transpose fine), and (M∘A)ᵀ = Aᵀ∘Mᵀ is composed here.
+        Ignored when ``AT=`` is given.
     """
     dtype = jnp.result_type(*jax.tree.leaves(b))
     if jnp.issubdtype(dtype, jnp.complexfloating):
         raise ValueError("qmr supports real dtypes only")
     op: LinearOperator = (lambda v: M(A(v))) if M is not None else A
     if AT is None:
-        transpose = jax.linear_transpose(op, b)
+        if MT is not None and M is not None:
+            # (M∘A)ᵀ = Aᵀ∘Mᵀ with Aᵀ derived — un-fences loop-built
+            # preconditioners (multigrid cycles) whose transpose JAX
+            # cannot derive but whose constructors can build.
+            transpose_a = jax.linear_transpose(A, b)
 
-        def AT(u):
-            (out,) = transpose(u)
-            return out
+            def AT(u):
+                (out,) = transpose_a(MT(u))
+                return out
+        else:
+            transpose = jax.linear_transpose(op, b)
+
+            def AT(u):
+                (out,) = transpose(u)
+                return out
 
     rhs = M(b) if M is not None else b
     x = jnp.zeros_like(rhs) if x0 is None else x0

@@ -129,3 +129,27 @@ def test_sharded_parity():
     np.testing.assert_allclose(
         np.asarray(sh.x), np.asarray(base.x), atol=1e-6
     )
+
+
+def test_qmr_multigrid_via_mt():
+    """The MG un-fencing: qmr(A, b, M=cycle, MT=transposed cycle)
+    works — iteration collapse on convdiff where the library's best
+    preconditioner family was previously unreachable from QMR."""
+    n = 64
+    A = gt.convection_diffusion_operator(n, 0.4, 0.2)
+    x_true = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n, n))
+    )
+    b = A(x_true)
+    m = gt.convection_diffusion_multigrid_preconditioner(n, 0.4, 0.2)
+    mt = gt.convection_diffusion_multigrid_preconditioner(
+        n, 0.4, 0.2, transpose=True
+    )
+    tol = 1e-9
+    plain = gt.qmr(A, b, tol=tol, max_iterations=2000)
+    prec = gt.qmr(A, b, tol=tol, M=m, MT=mt, max_iterations=200)
+    assert bool(prec.converged)
+    np.testing.assert_allclose(
+        np.asarray(prec.x), np.asarray(x_true), atol=1e-6
+    )
+    assert int(prec.iterations) * 5 < int(plain.iterations)
