@@ -880,6 +880,18 @@ def cmd_roofline(args):
     _emit(records, args)
 
 
+def _hlo_static_collectives(fn, b) -> int:
+    """Machine-independent communication evidence (a virtual CPU
+    mesh's TIME columns measure host oversubscription, not ICI):
+    static collective-op count of the compiled SPMD program."""
+    import re as _re
+
+    hlo = fn.lower(b).compile().as_text()
+    return len(_re.findall(
+        r"= \S+ (?:all-reduce|collective-permute|all-gather|"
+        r"reduce-scatter)\(", hlo))
+
+
 def cmd_strong_scaling(args):
     """Fixed grid, growing device count (the reference sweeps OpenMP
     threads 1..6, strong_scaling.f90:44-45)."""
@@ -905,17 +917,10 @@ def cmd_strong_scaling(args):
         res, dt = _timed(fn, b)
         if base_t is None:
             base_t = dt
-        # Machine-independent communication evidence (a virtual CPU
-        # mesh's TIME columns measure host oversubscription, not ICI):
-        # static collective-op count of the compiled SPMD program. The
-        # solver design claim is that this does NOT grow with device
-        # count — reductions stay one psum regardless of d.
-        import re as _re
-
-        hlo = fn.lower(b).compile().as_text()
-        n_coll = len(_re.findall(
-            r"= \S+ (?:all-reduce|collective-permute|all-gather|"
-            r"reduce-scatter)\(", hlo))
+        # The solver design claim is that the static collective count
+        # does NOT grow with device count — reductions stay one psum
+        # regardless of d.
+        n_coll = _hlo_static_collectives(fn, b)
         extra = {
             "devices": d,
             "speedup": base_t / dt,
@@ -992,11 +997,18 @@ def cmd_weak_scaling(args):
             "time_per_iter": per_iter,
             "work_per_device": n * n // d,
             "weak_efficiency": expected / per_iter,
+            # At fixed work/device the PER-ITERATION communication
+            # structure must not grow with d; the MG cycle adds
+            # O(log n) agglomerated levels so its count may grow
+            # logarithmically — record it so the artifact carries the
+            # machine-independent signal either way.
+            "hlo_static_collectives": _hlo_static_collectives(fn, b),
         }
         if cpu_mesh:
             # honesty label (round-2 judge finding): a host-oversubscribed
             # virtual CPU mesh measures XLA partition overhead, not ICI —
-            # iteration-count invariance is the machine-independent signal
+            # iteration invariance + hlo_static_collectives are the
+            # machine-independent signals
             extra["caveat"] = (
                 "cpu-mesh: oversubscribed host cores; time columns are "
                 "not an ICI communication measurement"
