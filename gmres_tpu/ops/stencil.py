@@ -360,3 +360,145 @@ def _stencil_blocked_impl(
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
     )(coefs, x, x, x)
+
+
+# ---------------------------------------------------------------------------
+# Double-double (f32-pair) Poisson stencil: the f64 Pallas route.
+# Mosaic has no f64; XLA's emulated-f64 stencil reaches only 0.09-0.23
+# of HBM peak (artifacts/roofline_tpu.jsonl). The error-free-
+# transformation kernel below (ops/dd.py) moves the SAME bytes as f64
+# (16 B/point hi+lo in and out) with ~2^-49-accurate arithmetic; the
+# Poisson coefficients (4, -1) are exact powers of two so only the
+# adds carry rounding (no Dekker splitting needed). Reference parity
+# target: poisson.f90:38-76 in real(8).
+# ---------------------------------------------------------------------------
+
+
+def _dd_neighbors(x, w_top, w_bot):
+    """Shifted neighbor views of one f32 component (positional, exact;
+    identical shift pattern to _blocked_kernel)."""
+    rows = x.shape[0]
+    up = jnp.concatenate([w_top, x], axis=0)[7: 7 + rows]
+    down = jnp.concatenate([x, w_bot], axis=0)[1: 1 + rows]
+    left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+    right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))
+    return up, down, left, right
+
+
+def _dd_blocked_kernel(nblocks: int):
+    from gmres_tpu.ops.dd import dd_add, dd_scale_pow2, dd_sub
+
+    def kernel(xh_ref, xl_ref, th_ref, bh_ref, tl_ref, bl_ref,
+               oh_ref, ol_ref):
+        i = pl.program_id(0)
+        xh, xl = xh_ref[:], xl_ref[:]
+
+        def masked(win_ref, first):
+            w = win_ref[:]
+            keep = (i > 0) if first else (i < nblocks - 1)
+            return jnp.where(keep, w, jnp.zeros_like(w))
+
+        uh, dh, lh, rh = _dd_neighbors(
+            xh, masked(th_ref, True), masked(bh_ref, False)
+        )
+        ul, dl, ll, rl = _dd_neighbors(
+            xl, masked(tl_ref, True), masked(bl_ref, False)
+        )
+        s = dd_add(
+            dd_add((lh, ll), (rh, rl)), dd_add((uh, ul), (dh, dl))
+        )
+        y = dd_sub(dd_scale_pow2((xh, xl), 4.0), s)
+        oh_ref[:] = y[0]
+        ol_ref[:] = y[1]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows")
+)
+def stencil_5pt_dd_pallas_blocked(
+    x_hi: jnp.ndarray,
+    x_lo: jnp.ndarray,
+    interpret: bool = False,
+    block_rows: int | None = None,
+):
+    """Poisson stencil on a double-double grid: (hi, lo) f32 pair in,
+    (hi, lo) pair out, row-blocked like ``stencil_5pt_pallas_blocked``
+    (8-row halo windows per component, Dirichlet zeros masked at the
+    edges). Accuracy ~2^-48 relative per application
+    (tests/test_dd_stencil.py pins it against the f64 oracle)."""
+    if not interpret:
+        with jax.enable_x64(False):
+            return _dd_blocked_impl(x_hi, x_lo, interpret, block_rows)
+    return _dd_blocked_impl(x_hi, x_lo, interpret, block_rows)
+
+
+def _dd_blocked_impl(x_hi, x_lo, interpret, block_rows):
+    n = x_hi.shape[0]
+    if block_rows is None:
+        block_rows = _auto_block_rows(n, 1 << 19)
+    rows = min(block_rows, n)
+    if n % rows != 0:
+        raise ValueError(f"grid rows {n} not divisible by {rows}")
+    if rows % 8 != 0:
+        raise ValueError(f"block_rows {rows} must be divisible by 8")
+    ncols = x_hi.shape[1]
+    nblocks = n // rows
+    ratio = rows // 8
+    last8 = n // 8 - 1
+    block = pl.BlockSpec((rows, ncols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    win_above = pl.BlockSpec(
+        (8, ncols), lambda i: (jnp.maximum(i * ratio - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    win_below = pl.BlockSpec(
+        (8, ncols), lambda i: (jnp.minimum((i + 1) * ratio, last8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = jax.ShapeDtypeStruct((n, ncols), jnp.float32)
+    return pl.pallas_call(
+        _dd_blocked_kernel(nblocks),
+        grid=(nblocks,),
+        in_specs=[block, block, win_above, win_below, win_above,
+                  win_below],
+        out_specs=(block, block),
+        out_shape=(out, out),
+        interpret=interpret,
+    )(x_hi, x_lo, x_hi, x_hi, x_lo, x_lo)
+
+
+def stencil_5pt_f64_via_dd(
+    x: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """One f64 Poisson stencil application through the dd kernel:
+    split -> dd kernel -> recombine. The split/recombine are XLA
+    elementwise passes, so a SINGLE application pays ~3x the ideal f64
+    traffic — amortize with ``stencil_5pt_f64_dd_chain`` (split once,
+    apply k times) the way a dd-resident solver loop would."""
+    from gmres_tpu.ops.dd import dd_from_f64, dd_to_f64
+
+    hi, lo = dd_from_f64(x)
+    return dd_to_f64(
+        stencil_5pt_dd_pallas_blocked(hi, lo, interpret=interpret)
+    )
+
+
+def stencil_5pt_f64_dd_chain(
+    x: jnp.ndarray, k: int, interpret: bool = False
+) -> jnp.ndarray:
+    """k chained f64 stencil applications in dd space (one split, one
+    recombine): the amortized form, and the honest roofline measurement
+    of the dd route's per-application bandwidth."""
+    from gmres_tpu.ops.dd import dd_from_f64, dd_to_f64
+
+    hi, lo = dd_from_f64(x)
+    hi, lo = jax.lax.fori_loop(
+        0, k,
+        lambda _, p: stencil_5pt_dd_pallas_blocked(
+            p[0], p[1], interpret=interpret
+        ),
+        (hi, lo),
+    )
+    return dd_to_f64((hi, lo))

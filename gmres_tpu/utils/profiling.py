@@ -59,8 +59,9 @@ def measure_bandwidth(
     Applications are CHAINED inside one jit call (x ← fn(x)) and timed
     at two rep counts; the per-application time is the SLOPE, so both
     host-dispatch latency (~30 ms over a remote-TPU tunnel) and the
-    scalar-fetch round trip cancel out. Requires fn: X → X (every
-    stencil/SpMV qualifies)."""
+    scalar-fetch round trip cancel out. Requires fn: X → X where X is
+    an array or a pytree of arrays (every stencil/SpMV qualifies; the
+    double-double route carries an (hi, lo) pair)."""
 
     def total(k):
         @jax.jit
@@ -70,7 +71,7 @@ def measure_bandwidth(
             # only reliable sync — block_until_ready returns early
             # through the remote-TPU (axon) tunnel, and transferring
             # the full array would measure tunnel bandwidth.
-            return jnp.sum(v)
+            return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(v))
 
         float(chained(x))
         best = float("inf")
