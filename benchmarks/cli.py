@@ -427,13 +427,20 @@ def cmd_helmholtz(args):
     if args.precond == "csl" or args.damping > 0:
         # Complex route: CSL-preconditioned GMRES (mgsr — the
         # complex-capable variant); the operator itself is complex
-        # when damping > 0.
+        # when damping > 0. TPU has NO c128 datapath (the compile
+        # helper rejects "Element type C128"), so --precision f32|c64
+        # runs the whole solve in complex64 — the TPU-native complex
+        # precision; pick a tol the c64 residual can reach (~1e-6
+        # relative). c128 rows remain the CPU-mesh parity evidence.
         from gmres_tpu.precond.multigrid import (
             csl_multigrid_preconditioner,
         )
 
+        cdtype = (jnp.complex64 if args.precision in ("f32", "c64",
+                                                      "mixed")
+                  else jnp.complex128)
         op = helmholtz_operator(n, kh2, args.damping)
-        b = op(jnp.ones((n, n), dtype=jnp.complex128))
+        b = op(jnp.ones((n, n), dtype=cdtype))
         m_inv = csl_multigrid_preconditioner(n, kh2)
         fn = jax.jit(
             lambda bb: gt.gmres(
@@ -449,11 +456,12 @@ def cmd_helmholtz(args):
             [
                 record_from_result(
                     f"gmres-csl-helmholtz-{n}x{n}", res,
-                    x_true=jnp.ones((n, n), dtype=jnp.complex128),
+                    x_true=jnp.ones((n, n), dtype=cdtype),
                     wall_s=dt, tol=args.tol, nnz=5 * n * n - 4 * n,
                     extra={"matvecs": total_inner + int(res.restarts),
                            "kh2": kh2, "damping": args.damping,
-                           "precond": "csl"},
+                           "precond": "csl",
+                           "precision": jnp.dtype(cdtype).name},
                 )
             ],
             args,
@@ -530,8 +538,15 @@ def cmd_eig(args):
         op = gt.convection_diffusion_operator(
             n, args.gamma_x, args.gamma_y
         )
+        # arnoldi_eigs derives its complex dtype from the probe; an f32
+        # probe runs the basis in complex64 — the TPU-native complex
+        # precision (c128 does not compile on TPU). Residual tolerances
+        # must then sit above the ~1e-6 c64 floor.
+        pdtype = (jnp.float32 if args.precision in ("f32", "c64",
+                                                    "mixed")
+                  else jnp.float64)
         probe = jax.random.normal(
-            jax.random.PRNGKey(0), (n, n), dtype=jnp.float64
+            jax.random.PRNGKey(0), (n, n), dtype=pdtype
         )
         fn = jax.jit(
             lambda p: gt.arnoldi_eigs(
@@ -565,6 +580,7 @@ def cmd_eig(args):
                 "k": k,
                 "which": "LM",
                 "steps": args.steps,
+                "precision": jnp.dtype(pdtype).name,
                 "gamma": [args.gamma_x, args.gamma_y],
                 "eigenvalues": [
                     [float(v.real), float(v.imag)] for v in got
@@ -1395,7 +1411,7 @@ def build_parser() -> argparse.ArgumentParser:
         cheb_order=8)
     add("eig", cmd_eig, nsize=256, k=4, tol=1e-8,
         max_iterations=200, precond="mg", method="lobpcg",
-        gamma_x=2.0, gamma_y=0.5, steps=40)
+        gamma_x=2.0, gamma_y=0.5, steps=40, precision="f64")
     add("sequence", cmd_sequence, nsize=128, k=10, restart=40,
         tol=1e-8, max_restarts=400, kh2_factors="10.0,10.5,11.0",
         with_gmres=False)
