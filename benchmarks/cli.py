@@ -941,6 +941,101 @@ def cmd_roofline(args):
     _emit(records, args)
 
 
+def cmd_multirhs(args):
+    """Multi-RHS amortization sweep (the PARITY block-CG/block-GMRES
+    claim, until now CPU-only cost-model evidence): s stacked RHS
+    should cost much less than s solves because every long-vector op
+    is batched and the reductions are (s, s) Gram matmuls riding the
+    MXU. Sweeps s and records time per RHS + the amortization ratio
+    vs the s=1 row (same solver, same tolerance)."""
+    n = args.nsize
+    op = gt.poisson_operator(n)
+    m_inv = (gt.poisson_multigrid_preconditioner(n)
+             if args.precond == "mg" else None)
+    rng = np.random.default_rng(0)
+    records = []
+    base_per_rhs = None
+    for s in (int(v) for v in args.s_list.split(",")):
+        xs = jnp.asarray(rng.standard_normal((s, n, n)))
+        B = jax.vmap(op)(xs)
+        if args.solver == "block-gmres":
+            fn = jax.jit(
+                lambda bb: gt.block_gmres(
+                    op, bb, restart=args.restart, tol=args.tol,
+                    M=m_inv, max_restarts=args.max_restarts,
+                )
+            )
+        else:
+            fn = jax.jit(
+                lambda bb: gt.block_cg(
+                    op, bb, tol=args.tol, M=m_inv,
+                    max_iterations=args.max_iterations,
+                )
+            )
+        res, dt = _timed(fn, B)
+        per_rhs = dt / s
+        if base_per_rhs is None:
+            base_per_rhs = per_rhs
+        records.append(
+            record_from_result(
+                f"{args.solver}-poisson-{n}x{n}-s{s}", res,
+                wall_s=dt, tol=args.tol, nnz=5 * n * n - 4 * n,
+                extra={
+                    "s": s,
+                    "time_per_rhs": per_rhs,
+                    "amortization_vs_s1": base_per_rhs / per_rhs,
+                    "precond": args.precond,
+                    "max_rhs_residual": float(res.residual),
+                },
+            )
+        )
+    _emit(records, args)
+
+
+def cmd_slq(args):
+    """Stochastic Lanczos quadrature (tr log A = log det A) probe
+    sweep: the whole estimate — Rademacher probes vmapped over the
+    Lanczos factorization, batched small eighs — is ONE dispatch; the
+    TPU claim is that probes are near-free until the batched stencil
+    saturates the chip. Records value ± MC stderr and time per probe
+    count."""
+    import math
+
+    n = args.nsize
+    op = gt.poisson_operator(n)
+    x_like = jnp.zeros((n, n))
+    records = []
+    for p in (int(v) for v in args.probes_list.split(",")):
+        fn = jax.jit(
+            lambda key, pp=p: gt.trace_funm(
+                op, jnp.log, x_like, n_probes=pp, steps=args.steps,
+                key=key,
+            )
+        )
+        # TraceResult has no .residual; fetch value for the tunnel sync
+        out = fn(jax.random.PRNGKey(0))
+        float(out.value)
+        t0 = time.perf_counter()
+        out = fn(jax.random.PRNGKey(0))
+        float(out.value)
+        dt = time.perf_counter() - t0
+        rec = RunRecord(
+            name=f"slq-logdet-poisson-{n}x{n}-p{p}",
+            nvars=n * n, iterations=args.steps, wall_s=dt,
+            nnz=5 * n * n - 4 * n,
+            extra={
+                "n_probes": p,
+                "value": float(out.value),
+                "stderr": float(out.stderr),
+                "time_per_probe": dt / p,
+                "rel_stderr": float(out.stderr)
+                / max(abs(float(out.value)), 1e-30),
+            },
+        )
+        records.append(rec)
+    _emit(records, args)
+
+
 def _hlo_static_collectives(fn, b) -> int:
     """Machine-independent communication evidence (a virtual CPU
     mesh's TIME columns measure host oversubscription, not ICI):
@@ -1412,6 +1507,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("eig", cmd_eig, nsize=256, k=4, tol=1e-8,
         max_iterations=200, precond="mg", method="lobpcg",
         gamma_x=2.0, gamma_y=0.5, steps=40, precision="f64")
+    add("multirhs", cmd_multirhs, nsize=512, s_list="1,2,4,8",
+        solver="block-cg", precond="mg", tol=1e-8, restart=30,
+        max_restarts=200, max_iterations=2000)
+    add("slq", cmd_slq, nsize=512, probes_list="8,16,32", steps=40)
     add("sequence", cmd_sequence, nsize=128, k=10, restart=40,
         tol=1e-8, max_restarts=400, kh2_factors="10.0,10.5,11.0",
         with_gmres=False)

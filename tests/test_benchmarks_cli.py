@@ -73,6 +73,16 @@ from benchmarks.cli import main
         ["roofline", "--grids", "32", "--reps", "2"],
         ["scale", "--grids", "16,32", "--restart", "8", "--tol", "1e-8"],
         ["scale", "--grids", "16,32", "--tol", "1e-8", "--dim", "3"],
+        ["multirhs", "--nsize", "32", "--s-list", "1,2", "--tol",
+         "1e-7"],
+        ["multirhs", "--nsize", "32", "--s-list", "2", "--solver",
+         "block-gmres", "--tol", "1e-7", "--restart", "16"],
+        ["slq", "--nsize", "32", "--probes-list", "4", "--steps", "20"],
+        ["helmholtz", "--nsize", "32", "--kh2", "0.2", "--tol", "1e-5",
+         "--precond", "csl", "--precision", "c64"],
+        ["eig", "--nsize", "16", "--k", "4", "--tol", "1e-4",
+         "--method", "arnoldi", "--steps", "20", "--precision", "f32",
+         "--max-iterations", "200"],
     ],
 )
 def test_cli_smoke(argv, capsys):
