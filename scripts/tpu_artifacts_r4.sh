@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-4 TPU artifact batch: the re-records and new captures the
+# round-3 verdict asked for. Run on a healthy axon tunnel AFTER
+# scripts/tpu_artifacts_r3.sh (one chip — never concurrently).
+# CLAUDE.md rules 7/11 apply: JSONL is written only at the END of each
+# invocation, first rows can take 6-10 min in a fresh process.
+set -x
+cd "$(dirname "$0")/.."
+
+# (a) CSL Helmholtz, TPU-native complex64 (c128 does not compile on
+# TPU — "Element type C128 is not supported"); tol sits above the
+# c64 residual floor. The c128 parity rows live on the CPU mesh.
+timeout 1800 python -m benchmarks.cli helmholtz --nsize 512 \
+  --kh2 0.25 --tol 3e-6 --precond csl --precision c64 \
+  --jsonl artifacts/helmholtz_tpu.jsonl
+
+# (b) Krylov-Schur on convdiff, complex64 basis (same TPU constraint).
+timeout 1800 python -m benchmarks.cli eig --method arnoldi --nsize 512 \
+  --k 4 --steps 40 --tol 1e-5 --precision f32 \
+  --jsonl artifacts/eig_tpu.jsonl
+
+# (c) Roofline re-record: VMEM-resident rows now flagged, dd f64 rows
+# added; 4096^2 is the honest HBM row for f32, 2048^2 for f64.
+timeout 3000 python -m benchmarks.cli roofline --grids 1024,2048,4096 \
+  --jsonl artifacts/roofline_tpu_r4.jsonl
+
+# (d) Multi-RHS amortization: block-CG (MG-preconditioned) and
+# block-GMRES, s = 1,2,4,8.
+timeout 2400 python -m benchmarks.cli multirhs --nsize 512 \
+  --s-list 1,2,4,8 --tol 1e-8 --jsonl artifacts/multirhs_tpu.jsonl
+timeout 2400 python -m benchmarks.cli multirhs --nsize 256 \
+  --s-list 1,2,4,8 --solver block-gmres --tol 1e-8 --restart 30 \
+  --jsonl artifacts/multirhs_tpu.jsonl
+
+# (e) SLQ probe sweep: one-dispatch tr log A, probes near-free until
+# the batched stencil saturates the chip.
+timeout 1800 python -m benchmarks.cli slq --nsize 512 \
+  --probes-list 8,16,32 --steps 40 --jsonl artifacts/slq_tpu.jsonl
+
+# (f) Headline decomposition validation on the real chip (the driver's
+# round-end bench.py run records BENCH_r04; this validates the new
+# decomposition field against the same hardware first).
+timeout 3000 python bench.py > artifacts/bench_decomposed_tpu.json
