@@ -53,6 +53,7 @@ from gmres_tpu.solvers.idrs import idrs
 from gmres_tpu.solvers.gmres import gmres
 from gmres_tpu.solvers.minres import minres
 from gmres_tpu.solvers.sstep import sstep_gmres
+from gmres_tpu.solvers.sstep_cg import sstep_cg
 from gmres_tpu.solvers.lanczos import lanczos_bounds, power_iteration_bound
 from gmres_tpu.solvers.lobpcg import lobpcg
 from gmres_tpu.solvers.chebyshev import chebyshev_solve
@@ -175,6 +176,7 @@ __all__ = [
     "block_cg",
     "BlockCGResult",
     "sstep_gmres",
+    "sstep_cg",
     "lanczos_bounds",
     "power_iteration_bound",
     "lobpcg",
