@@ -92,15 +92,28 @@ REF_EIG = (0.2, 8.2)
 
 def _sync(out):
     """Force completion. block_until_ready returns early through the
-    remote-TPU (axon) tunnel, so fetch one result scalar instead."""
+    remote-TPU (axon) tunnel, so fetch one result scalar instead
+    (observed: the expm evolve row recorded wall_s ~0 because
+    ExpEvolveResult carries error_estimates, fell through to
+    block_until_ready, and the timer never waited)."""
     res = getattr(out, "residual", None)
     if res is None:
-        rs = getattr(out, "residuals", None)  # EigResult
-        res = None if rs is None else rs.max()
+        for name in ("residuals", "error_estimates", "stderr"):
+            rs = getattr(out, name, None)
+            if rs is not None:
+                res = rs.max() if getattr(rs, "ndim", 0) else rs
+                break
     if res is not None:
         float(res)
     else:
-        jax.block_until_ready(out)
+        # last resort: fetch ONE element of one output leaf (forces the
+        # execution without transferring the array over the tunnel)
+        leaves = [l for l in jax.tree.leaves(out)
+                  if hasattr(l, "ravel") and getattr(l, "size", 0)]
+        if leaves:
+            float(jnp.real(leaves[0].ravel()[0]))
+        else:
+            jax.block_until_ready(out)
     return out
 
 

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 
 from gmres_tpu.ops.givens import givens_init, givens_step
 from gmres_tpu.ops.hessenberg_eig import eig_select
-from gmres_tpu.ops.tri import masked_back_substitution
+from gmres_tpu.ops.tri import masked_back_substitution, solve_small
 from gmres_tpu.solvers.block_gmres import _orthonormalize_block
 from gmres_tpu.types import LinearOperator, Preconditioner, SolverStatus
 
@@ -181,7 +181,11 @@ def gcrodr(
     def renormalize(u_block, au_block):
         """(U, op·U) → (U', C) with op·U' = C orthonormal."""
         c, rmat = _orthonormalize_block(au_block, eps)
-        t = jnp.linalg.inv(rmat)
+        # rmat is the (dense, SVQB-derived — NOT triangular) block
+        # reconstruction factor; invert via the pivoted-elimination
+        # solve_small: jnp.linalg.inv lowers to LuDecomposition, which
+        # the TPU implements only for F32/C64.
+        t = solve_small(rmat, jnp.eye(rmat.shape[0], dtype=rmat.dtype))
         u_new = jnp.tensordot(t, u_block, axes=(0, 0))
         good = jnp.all(jnp.isfinite(u_new)) & jnp.all(jnp.isfinite(c))
         return (
@@ -273,7 +277,7 @@ def gcrodr(
         )
         m1 = gmat.T @ gmat
         m2 = gmat.T @ fmat
-        pencil = jnp.linalg.solve(m2, m1)
+        pencil = solve_small(m2, m1)  # TPU: no f64 LuDecomposition
         vals, vecs, okc = eig_select(pencil, k, which="smallest")
         z = _realify(vals, vecs, k, eps).astype(dtype)  # (km, k)
         u_new = jnp.tensordot(
@@ -302,7 +306,7 @@ def gcrodr(
         Matvec-free: A·(V z) = V_{m+1}·(H̄ z)."""
         hm = hraw[:m, :m]
         em = jnp.zeros((m,), dtype).at[m - 1].set(1.0)
-        f = jnp.linalg.solve(hm.T, em)
+        f = solve_small(hm.T, em)  # TPU: no f64 LuDecomposition
         cmat = hm.at[:, m - 1].add(hraw[m, m - 1] ** 2 * f)
         vals, vecs, okc = eig_select(cmat, k, which="smallest")
         z = _realify(vals, vecs, k, eps).astype(dtype)  # (m, k)

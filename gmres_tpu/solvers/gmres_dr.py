@@ -50,6 +50,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from gmres_tpu.ops.tri import solve_small
 from gmres_tpu.ops.blas import tree_vdot
 from gmres_tpu.ops.givens import GivensState, givens_step
 from gmres_tpu.ops.hessenberg_eig import eig_select
@@ -223,7 +224,7 @@ def gmres_dr(
         em = jnp.zeros((m,), dtype).at[m - 1].set(1.0)
         # Harmonic problem: (H + h_{m+1,m}^2 f e_m^T) g = theta g with
         # f = H^{-T} e_m  — only the LAST column is modified.
-        f = jnp.linalg.solve(hm.T, em)
+        f = solve_small(hm.T, em)  # TPU: no f64 LuDecomposition
         cmat = hm.at[:, m - 1].add(h2 * f)
         vals, vecs, ok = eig_select(cmat, kb, which="smallest")
         # Realify: slot i takes Re(g_i), or Im(g_{i-1}) when theta_i is

@@ -29,6 +29,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from gmres_tpu.ops.tri import solve_small
 from gmres_tpu.ops.blas import (
     tree_axpy,
     tree_norm,
@@ -129,7 +130,7 @@ def idrs(
             act = (rows >= k) & (cols >= k)
             m_masked = jnp.where(act, m_mat, jnp.eye(s, dtype=dtype))
             f_masked = jnp.where(jnp.arange(s) >= k, f, 0.0)
-            c = jax.scipy.linalg.solve(m_masked, f_masked)
+            c = solve_small(m_masked, f_masked)  # TPU: no f64 LU
             v = r - jnp.tensordot(c, g_blk, axes=(0, 0))
             v = m_apply(v)
             u_k = jnp.tensordot(c, u_blk, axes=(0, 0)) + om * v

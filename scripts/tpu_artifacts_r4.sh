@@ -37,7 +37,28 @@ timeout 2400 python -m benchmarks.cli multirhs --nsize 256 \
 timeout 1800 python -m benchmarks.cli slq --nsize 512 \
   --probes-list 8,16,32 --steps 40 --jsonl artifacts/slq_tpu.jsonl
 
-# (f) Headline decomposition validation on the real chip (the driver's
+# (f) r3-batch reruns. evolve gmres/gcrodr and bratu-gcrodr failed on
+# the TPU's missing f64 LuDecomposition (fixed: ops/tri.py solve_small
+# now backs the GCRO-DR pencil / GMRES-DR transpose / IDR(s) shadow
+# solves); the sequence run tripped the ~30 s device watchdog with the
+# plain-GMRES 400-restart comparison arm (CLAUDE.md rule 4) — capped.
+timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
+  --dt 1.0 --solver gmres --tol 1e-9 --jsonl artifacts/evolve_tpu.jsonl
+timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
+  --dt 1.0 --solver gcrodr --tol 1e-9 --jsonl artifacts/evolve_tpu.jsonl
+timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
+  --tol 1e-9 --precond none --inner gcrodr --max-newton 50 \
+  --jsonl artifacts/bratu_tpu.jsonl
+timeout 2400 python -m benchmarks.cli sequence --nsize 256 --k 10 \
+  --restart 40 --tol 1e-8 --kh2-factors 10.0,10.5,11.0 --with-gmres \
+  --max-restarts 100 --jsonl artifacts/sequence_tpu.jsonl
+# expm row re-record: the previous row's wall_s was ~0 (sync bug in
+# _sync for ExpEvolveResult, fixed).
+timeout 1800 python -m benchmarks.cli evolve --model heat \
+  --solver expm --nsize 512 --steps 50 --dt 0.5 --expm-steps 30 \
+  --jsonl artifacts/evolve_tpu.jsonl
+
+# (g) Headline decomposition validation on the real chip (the driver's
 # round-end bench.py run records BENCH_r04; this validates the new
 # decomposition field against the same hardware first).
 timeout 3000 python bench.py > artifacts/bench_decomposed_tpu.json

@@ -179,3 +179,70 @@ def test_stencil_pallas_blocked_indivisible_raises():
     with pytest.raises(ValueError, match="divisible"):
         stencil_5pt_pallas_blocked(jnp.ones((96, 96)), interpret=True,
                                    block_rows=40)
+
+
+class TestSolveSmall:
+    """solve_small (ops/tri.py): the TPU-safe replacement for
+    jnp.linalg.solve on small replicated systems (f64 LuDecomposition
+    does not compile on TPU)."""
+
+    def test_matches_numpy_f64(self):
+        import numpy as np
+
+        from gmres_tpu.ops.tri import solve_small
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((12, 12))
+        b = rng.standard_normal(12)
+        x = np.asarray(solve_small(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(x, np.linalg.solve(a, b),
+                                   atol=1e-11)
+
+    def test_matrix_rhs_and_complex(self):
+        import numpy as np
+
+        from gmres_tpu.ops.tri import solve_small
+
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((9, 9)) + 1j * rng.standard_normal(
+            (9, 9))
+        b = rng.standard_normal((9, 3)) + 1j * rng.standard_normal(
+            (9, 3))
+        x = np.asarray(solve_small(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(x, np.linalg.solve(a, b),
+                                   atol=1e-11)
+
+    def test_pivoting_needed(self):
+        """Zero diagonal head: unpivoted elimination would divide by
+        zero; partial pivoting must sail through."""
+        import numpy as np
+
+        from gmres_tpu.ops.tri import solve_small
+
+        a = np.array([[0.0, 1.0], [1.0, 0.0]])
+        b = np.array([2.0, 3.0])
+        x = np.asarray(solve_small(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(x, [3.0, 2.0], atol=1e-14)
+
+    def test_singular_nan_poisons(self):
+        import numpy as np
+
+        from gmres_tpu.ops.tri import solve_small
+
+        a = jnp.asarray(np.ones((4, 4)))
+        b = jnp.asarray(np.ones(4))
+        x = np.asarray(solve_small(a, b))
+        assert np.isnan(x).all()
+
+    def test_under_jit_with_traced_operands(self):
+        import numpy as np
+
+        from gmres_tpu.ops.tri import solve_small
+
+        rng = np.random.default_rng(2)
+        a = jnp.asarray(rng.standard_normal((7, 7)))
+        b = jnp.asarray(rng.standard_normal(7))
+        x = jax.jit(solve_small)(a, b)
+        np.testing.assert_allclose(
+            np.asarray(x), np.linalg.solve(np.asarray(a),
+                                           np.asarray(b)), atol=1e-11)
