@@ -28,6 +28,17 @@ arithmetic throughout:
     pair (θ, θ̄):  y += (2·Re θ)/|θ|²·w − 1/|θ|²·(A w)
                   w ← w − (2·Re θ)/|θ|²·(A w) + 1/|θ|²·A(A w)
 
+Degree sizing, learned by measurement: the polynomial must place roots
+near the WHOLE spectrum, and for the grid operators the smallest
+eigenvalues scale like h², so the required degree grows like 1/h —
+deg 24 collapses convdiff 64² (448 → 15 iterations) but DIVERGES at
+256² on CPU and TPU alike (|1 − z·s(z)| > 1 over the unreached lower
+spectrum; the failure mode
+tests/test_polynomial.py::test_degree_too_low pins). For fine grids
+use the multigrid cycles or pair the polynomial with deflation; this
+preconditioner's regime is clustered/moderate spectra where its
+zero-reduction application shines.
+
 No reference counterpart (the reference's only preconditioner is the
 degree-2 Chebyshev, chebyshev.f90:8-38).
 """

@@ -14,6 +14,14 @@ timeout 1800 python -m benchmarks.cli helmholtz --nsize 512 \
   --kh2 0.25 --tol 3e-6 --precond csl --precision c64 \
   --jsonl artifacts/helmholtz_tpu.jsonl
 
+# (b0) LOBPCG 1024² rerun at a scale-appropriate tolerance: the tol is
+# ABSOLUTE on ‖Ax − λx‖ while λ₁ = 2π²h² ≈ 1.9e-5 at 1024², so the r3
+# row's 1e-8 demanded a 5e-4-relative residual and hit the iteration
+# cap at 2e-7 (eigenvalues were still good to 6e-9 absolute). 1e-6
+# absolute ≈ 5% of λ₁'s scale is the honest production setting.
+timeout 1800 python -m benchmarks.cli eig --nsize 1024 --k 4 \
+  --tol 1e-6 --jsonl artifacts/eig_tpu.jsonl
+
 # (b) Krylov-Schur on convdiff, complex64 basis (same TPU constraint).
 timeout 1800 python -m benchmarks.cli eig --method arnoldi --nsize 512 \
   --k 4 --steps 40 --tol 1e-5 --precision f32 \
@@ -57,6 +65,19 @@ timeout 2400 python -m benchmarks.cli sequence --nsize 256 --k 10 \
 timeout 1800 python -m benchmarks.cli evolve --model heat \
   --solver expm --nsize 512 --steps 50 --dt 0.5 --expm-steps 30 \
   --jsonl artifacts/evolve_tpu.jsonl
+
+# (g0) Poly-preconditioned convdiff re-record at configs where the
+# polynomial CAN enclose the spectrum: the r3 row (256², degree 24)
+# diverged on TPU AND CPU alike — the required degree grows like
+# 1/h (tests/test_polynomial.py::test_degree_too_low pins the failure
+# mode), so 256²/24 was mis-sized, not a TPU bug. The documented win
+# config is 64²/deg 24 (PARITY row); 128²/deg 48 probes the scaling.
+timeout 1800 python -m benchmarks.cli convdiff --nsize 64 \
+  --tol 1e-9 --precond poly --solver gmres --poly-degree 24 \
+  --jsonl artifacts/convdiff_tpu.jsonl
+timeout 1800 python -m benchmarks.cli convdiff --nsize 128 \
+  --tol 1e-9 --precond poly --solver gmres --poly-degree 48 \
+  --jsonl artifacts/convdiff_tpu.jsonl
 
 # (g) Headline decomposition validation on the real chip (the driver's
 # round-end bench.py run records BENCH_r04; this validates the new
