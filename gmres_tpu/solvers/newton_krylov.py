@@ -82,9 +82,14 @@ def newton_krylov(
         a physically sensible start).
       tol: absolute nonlinear tolerance ‖F(x)‖₂.
       max_newton: Newton-step cap.
-      M: optional left preconditioner for the inner GMRES — typically a
+      M: optional preconditioner for the inner solve — typically a
         frozen approximate-Jacobian inverse (e.g. the Poisson multigrid
         cycle when F = A u + low-order nonlinearity; models/bratu.py).
+        Applied on the RIGHT via FGMRES (inner="gmres"), so the inner
+        stop test is the UNPRECONDITIONED ‖J d + F‖ ≤ η‖F‖ that
+        Eisenstat-Walker theory requires (see the in-line note for the
+        measured left-preconditioned failure mode this prevents). The
+        gcrodr inner still applies M on the left.
       inner: "gmres" (default) or "gcrodr" — the recycling inner
         solver (solvers/gcrodr.py) carries a recycle_k-dimensional
         deflation subspace ACROSS Newton steps: successive Jacobians
@@ -113,6 +118,7 @@ def newton_krylov(
       max_backtracks: halvings before declaring BREAKDOWN.
       armijo: sufficient-decrease parameter σ.
     """
+    from gmres_tpu.solvers.fgmres import fgmres
     from gmres_tpu.solvers.gmres import gmres
 
     if forcing not in ("ew", "fixed"):
@@ -195,6 +201,30 @@ def newton_krylov(
                 * (restart - recycle_k)
                 + res.iterations
             )
+        elif M is not None:
+            # RIGHT-preconditioned inner solve (FGMRES): Eisenstat-
+            # Walker theory requires ‖J d + F‖ ≤ η‖F‖ in the
+            # UNPRECONDITIONED norm, and right preconditioning makes
+            # the solver's own residual exactly that norm at zero extra
+            # cost. A LEFT-preconditioned inner (the round-3 form)
+            # stops on the M-norm, which can accept directions whose
+            # true linear residual is large when the inner least-
+            # squares is ill-determined — measured on 1024² Bratu f64:
+            # CPU and TPU runs reach the SAME M-norm estimate (0.2215
+            # vs 0.2214) while the true relative residuals are 0.063
+            # vs 15.8; on TPU the "direction" failed every backtrack
+            # and Newton died at ‖F(x₀)‖. (Left + certify="true" also
+            # fixes it but pays ~3× inner iterations; right
+            # preconditioning minimizes the correct norm directly.)
+            res = fgmres(
+                j_apply,
+                -fx,
+                restart=restart,
+                tol=eta,
+                max_restarts=max_restarts,
+                M=M,
+                inner_dtype=inner_dtype,
+            )
         else:
             res = gmres(
                 j_apply,
@@ -202,7 +232,6 @@ def newton_krylov(
                 restart=restart,
                 tol=eta,
                 max_restarts=max_restarts,
-                M=M,
                 variant=variant,
                 inner_dtype=inner_dtype,
                 compute_v_err=False,
@@ -213,6 +242,7 @@ def newton_krylov(
                 # Hessenberg entries. Inexact Newton never needs it.
                 breakdown_check=False,
             )
+        if not use_recycling:
             inner_tot = inner_tot + (
                 jnp.maximum(res.restarts - 1, 0) * restart
                 + res.iterations

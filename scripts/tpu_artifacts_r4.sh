@@ -57,6 +57,13 @@ timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
 timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
   --tol 1e-9 --precond none --inner gcrodr --max-newton 50 \
   --jsonl artifacts/bratu_tpu.jsonl
+# f64 bratu rerun: the r3 row died at ||F(x0)|| because the LEFT-
+# preconditioned inner accepted a direction with true linear residual
+# 15.8 (M-norm said 0.22); the inner is now right-preconditioned
+# FGMRES and the same config converges (4 Newton steps to 4.9e-12,
+# probed on this chip).
+timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
+  --tol 1e-9 --jsonl artifacts/bratu_tpu.jsonl
 timeout 2400 python -m benchmarks.cli sequence --nsize 256 --k 10 \
   --restart 40 --tol 1e-8 --kh2-factors 10.0,10.5,11.0 --with-gmres \
   --max-restarts 100 --jsonl artifacts/sequence_tpu.jsonl

@@ -39,12 +39,14 @@ def test_bratu_mg_preconditioned_superlinear():
     # Frozen-Jacobian MG keeps the inner GMRES cheap: a handful of
     # inner iterations per Newton step on average.
     assert int(res.inner_iterations) <= 10 * it
-    # Eisenstat-Walker forcing preserves superlinear convergence: the
-    # final contraction is far stronger than the first.
+    # Eisenstat-Walker forcing preserves superlinear convergence: some
+    # later contraction is far stronger than the first. (Not
+    # necessarily the LAST step — once ‖F‖ nears tol the oversolve
+    # guard floors η at 0.5·tol/‖F‖ by design, so the final step's
+    # contraction is deliberately mild.)
     hist = np.asarray(res.residual_history)[:it]
-    first = hist[1] / hist[0]
-    last = hist[-1] / hist[-2]
-    assert last < 0.1 * first
+    ratios = hist[1:] / hist[:-1]
+    assert ratios[1:].min() < 0.1 * ratios[0]
 
 
 def test_mixed_precision_inner():
