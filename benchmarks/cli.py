@@ -610,7 +610,7 @@ def cmd_eig(args):
         jax.random.PRNGKey(0), (k, n, n), dtype=jnp.float64
     )
     fn = jax.jit(
-        lambda xx: gt.lobpcg(op, xx, tol=args.tol,
+        lambda xx: gt.lobpcg(op, xx, tol=args.tol, rtol=args.rtol,
                              max_iterations=args.max_iterations, M=m_inv)
     )
     res, dt = _timed(fn, x0)
@@ -989,6 +989,17 @@ def cmd_multirhs(args):
         per_rhs = dt / s
         if base_per_rhs is None:
             base_per_rhs = per_rhs
+        if not hasattr(res, "iterations"):
+            # BlockSolveResult (block-gmres) counts restart cycles;
+            # total inner block iterations ≤ restarts·m.
+            import types as _types
+
+            res = _types.SimpleNamespace(
+                iterations=int(res.restarts) * args.restart,
+                **{k: getattr(res, k)
+                   for k in ("x", "restarts", "residuals", "residual",
+                             "status")},
+            )
         records.append(
             record_from_result(
                 f"{args.solver}-poisson-{n}x{n}-s{s}", res,
@@ -1517,7 +1528,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("spmv", cmd_spmv, nsize=512, reps=20, skip_sparse=False)
     add("roofline", cmd_roofline, grids="1024,2048,4096", reps=20,
         cheb_order=8)
-    add("eig", cmd_eig, nsize=256, k=4, tol=1e-8,
+    add("eig", cmd_eig, nsize=256, k=4, tol=1e-8, rtol=0.0,
         max_iterations=200, precond="mg", method="lobpcg",
         gamma_x=2.0, gamma_y=0.5, steps=40, precision="f64")
     add("multirhs", cmd_multirhs, nsize=512, s_list="1,2,4,8",

@@ -96,6 +96,7 @@ def lobpcg(
     X0: jnp.ndarray,
     *,
     tol: float = 1e-6,
+    rtol: float = 0.0,
     max_iterations: int = 200,
     M: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     B: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
@@ -119,8 +120,14 @@ def lobpcg(
     A⁻¹ (e.g. ``poisson_multigrid_preconditioner`` — the same cycles
     that precondition the linear solves).
 
-    Convergence: every pair must reach ‖A xᵢ − λᵢ xᵢ‖₂ < tol with
-    unit-norm xᵢ (absolute, the house convention — cg.f90:37).
+    Convergence: every pair must reach
+    ‖A xᵢ − λᵢ B xᵢ‖₂ < max(tol, rtol·|λᵢ|) with B-unit-norm xᵢ —
+    tol is absolute (the house convention, cg.f90:37); rtol scales the
+    threshold per pair by its own eigenvalue, the right knob when the
+    wanted eigenvalues carry a grid factor (Poisson λ₁ = 2π²h²:
+    demanding 1e-8 ABSOLUTE at 1024² means 5e-4 RELATIVE and slowed
+    the recorded TPU run past its iteration cap at eigenvalues already
+    accurate to 6e-9 — artifacts/eig_tpu.jsonl, round 3).
 
     guard: extra trailing pairs computed but not returned (standard
     LOBPCG practice): the LAST pair's residual converges an order or
@@ -207,8 +214,15 @@ def lobpcg(
     )
     # Convergence gates on the RETURNED pairs only — the guard pairs
     # exist to converge slower so the returned ones don't have to.
+    def _converged(lam_v, res_v):
+        thresh = jnp.maximum(
+            jnp.asarray(tol, res_v.dtype),
+            jnp.asarray(rtol, res_v.dtype) * jnp.abs(lam_v[:k_out]),
+        )
+        return jnp.all(res_v[:k_out] < thresh)
+
     status0 = jnp.where(
-        jnp.max(res0[:k_out]) < tol,
+        _converged(lam0, res0),
         jnp.int32(SolverStatus.CONVERGED),
         jnp.int32(SolverStatus.MAX_ITERATIONS),
     )
@@ -230,7 +244,7 @@ def lobpcg(
         # not in the old one.
         p_n = x_n - _combine(_rows_dot(x, x_n), x)
         status = jnp.where(
-            jnp.max(res_n[:k_out]) < tol,
+            _converged(lam_n, res_n),
             jnp.int32(SolverStatus.CONVERGED),
             status,
         )

@@ -90,6 +90,10 @@ def test_cli_smoke(argv, capsys):
     out = capsys.readouterr().out
     if argv[0] == "spmv":
         assert "kernel" in out and "stencil-jnp-f64" in out
+    elif argv[0] == "slq":
+        # the SLQ table has no residual column; value/stderr live in
+        # the JSONL extra fields
+        assert "slq-logdet" in out
     else:
         assert "solver" in out  # header printed
         assert "e-" in out or "e+" in out  # scientific cells present

@@ -242,3 +242,33 @@ def test_generalized_reduces_to_standard_with_identity_B():
         np.asarray(gen.eigenvalues), np.asarray(std.eigenvalues),
         rtol=1e-9,
     )
+
+
+def test_rtol_scales_with_eigenvalue():
+    """rtol thresholds each pair by its own |λ| — the scale-appropriate
+    stop when eigenvalues carry the grid's h² factor. At rtol=1e-3 the
+    solve must stop well before the absolute-1e-8 iteration count while
+    still resolving the eigenvalues to ~rtol accuracy."""
+    import math
+
+    n, k = 64, 3
+    op = gt.poisson_operator(n)
+    m = gt.poisson_multigrid_preconditioner(n)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (k, n, n),
+                           dtype=jnp.float64)
+    tight = gt.lobpcg(op, x0, tol=1e-10, M=m, max_iterations=200)
+    loose = gt.lobpcg(op, x0, tol=0.0, rtol=1e-3, M=m,
+                      max_iterations=200)
+    assert bool(loose.converged)
+    assert int(loose.iterations) < int(tight.iterations)
+    exact = sorted(
+        4.0 - 2 * math.cos(i * math.pi / (n + 1))
+        - 2 * math.cos(j * math.pi / (n + 1))
+        for i in range(1, k + 2) for j in range(1, k + 2)
+    )[:k]
+    got = np.sort(np.asarray(loose.eigenvalues))
+    np.testing.assert_allclose(got, exact, rtol=1e-4)
+    # per-pair residuals satisfy the documented threshold
+    lam = np.asarray(loose.eigenvalues)
+    res = np.asarray(loose.residuals)
+    assert (res < 1e-3 * np.abs(lam) + 1e-15).all()
