@@ -23,10 +23,19 @@ docs/DESIGN.md): the dd stencil is the right engine for f64-path
 residual (the restart sweep) must keep the outer operator on the XLA
 f64 route — attainable accuracy is set by the operator's ε.
 
-Ordering hazard encoded here: every transformation below depends on
-IEEE-754 round-to-nearest per operation WITHOUT reassociation. XLA and
-Mosaic preserve per-op IEEE semantics (no fast-math), which is what
-makes these kernels legal.
+Ordering hazard encoded here (learned by measurement, round 4): every
+transformation below depends on IEEE-754 round-to-nearest per
+operation — and XLA does NOT fully guarantee that: its LLVM CPU
+codegen contracts mul+add pairs into FMAs inside fused loops, which
+silently replaces fl(a·b) with the unrounded product and collapsed a
+jitted dd_mul_scalar to plain f32 accuracy while the eager op-by-op
+run was exact. The defenses: (1) two_prod uses bit-masked exact 12-bit
+splits so every multiply is EXACT and contraction becomes
+value-preserving by construction; (2) the sums' intermediates are
+fenced with optimization_barrier against pattern rewrites (skipped
+via ``no_fences()`` inside Mosaic kernels, which lack the primitive
+and never run the XLA simplifier; compiled-kernel accuracy is pinned
+on real TPU).
 
 Range contract: dd inherits f32's EXPONENT range (~1e±38), not f64's
 ~1e±308 — a dd chain on values outside that overflows/underflows where
@@ -37,20 +46,61 @@ this binds only synthetic power-iteration-like chains.
 
 from __future__ import annotations
 
+import contextlib
+
+import jax
 import jax.numpy as jnp
+
+
+_FENCES_ON = [True]
+
+
+@contextlib.contextmanager
+def no_fences():
+    """Disable the XLA value fences while tracing a Mosaic kernel
+    body: Pallas TPU lowering has no optimization_barrier primitive,
+    and Mosaic compiles from its own dialect — the XLA HLO simplifier
+    whose false rewrites the fences exist to block never sees kernel
+    internals. The kernels' numerics are additionally protected by
+    construction: two_prod's multiplies are all EXACT (see below), so
+    even an FMA-contracting backend cannot change any value
+    (accuracy pinned on real TPU by the compiled-kernel probes)."""
+    _FENCES_ON.append(False)
+    try:
+        yield
+    finally:
+        _FENCES_ON.pop()
+
+
+def _fence(x):
+    """Opaque value barrier. XLA's LLVM codegen CONTRACTS mul+add
+    pairs into FMAs and its simplifier can rewrite real-number
+    identities — both false in floating point for the rounding-error
+    terms this module exists to capture (measured: a jitted
+    dd_mul_scalar collapsed to the plain f32 product, 2.2e-7 instead
+    of 1e-14, while the EAGER op-by-op run was exact). Fencing the
+    rounded intermediates of each error-free transformation blocks
+    value movement across the boundary; the exact-product two_prod
+    below removes the contraction hazard by construction, and the
+    fences keep the sums' identities safe from pattern rewrites."""
+    if not _FENCES_ON[-1]:
+        return x
+    return jax.lax.optimization_barrier(x)
 
 
 def two_sum(a, b):
     """Error-free sum: s + e == a + b exactly, s = fl(a+b) (Knuth)."""
-    s = a + b
-    bb = s - a
+    a, b = _fence((a, b))
+    s = _fence(a + b)
+    bb = _fence(s - a)
     e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
 def quick_two_sum(a, b):
     """Error-free sum assuming |a| ≥ |b| (Dekker fast two-sum)."""
-    s = a + b
+    a, b = _fence((a, b))
+    s = _fence(a + b)
     e = b - (s - a)
     return s, e
 
@@ -83,6 +133,90 @@ def dd_scale_pow2(a, c: float):
     of this form, which is why its dd application needs NO two_prod /
     Dekker splitting at all — only the adds carry rounding."""
     return a[0] * c, a[1] * c
+
+
+def _split12(a):
+    """Exact 12+12-bit significand split by MANTISSA BIT MASKING
+    (truncate the low 12 explicit mantissa bits), not Dekker's
+    2¹²+1-multiply trick. Why: XLA:CPU's LLVM codegen CONTRACTS
+    mul-then-add/sub pairs into FMAs (observed in the compiled HLO's
+    kLoop fusions; --xla_allow_excess_precision=false does not stop
+    it), and Dekker's split is exactly such a pair — fma(a, 4097, −t)
+    computes a DIFFERENT (unrounded) value and the split collapses.
+    The masked split uses only bitwise ops plus one subtraction of
+    exactly-representable values, so no transformation can change it.
+    a_hi keeps ≤12 significand bits; a_lo = a − a_hi is exact and also
+    ≤12 bits, so every 12×12 partial product below is EXACT in f32."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    a_hi = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFFF000), jnp.float32
+    )
+    return a_hi, a - a_hi
+
+
+def two_prod(a, b):
+    """Error-free product: s + e == a·b to O(2⁻⁴⁸) relative, by exact
+    12-bit partial products. FMA-CONTRACTION-IMMUNE by construction:
+    every multiply here is EXACT (12×12-bit significands fit f32's
+    24), so a contracted fma(x, y, z) = round(exact + z) equals the
+    uncontracted round(round(exact) + z) bit for bit — the compiler
+    cannot change any value. (The classical Dekker form is NOT immune:
+    its p = fl(a·b) is a bare rounded multiply, and a consumer add
+    contracting it to fma(a, b, c) bypasses the rounding the algorithm
+    depends on — measured 2.2e-7 instead of 1e-14 on XLA:CPU.)"""
+    a, b = _fence((a, b))
+    a_hi, a_lo = _split12(a)
+    b_hi, b_lo = _split12(b)
+    p1 = a_hi * b_hi  # all four partials exact in f32
+    p2 = a_hi * b_lo
+    p3 = a_lo * b_hi
+    p4 = a_lo * b_lo
+    s, e = two_sum(p2, p3)
+    e = e + p4
+    s, e2 = two_sum(p1, s)
+    return quick_two_sum(s, e + e2)
+
+
+def dd_mul_scalar(a, c):
+    """dd × dd-scalar ((c_hi, c_lo), e.g. a stencil coefficient split
+    from f64): relative error O(2⁻⁹⁶)."""
+    a_hi, a_lo = a
+    c_hi, c_lo = c
+    p, e = two_prod(a_hi, c_hi)
+    e = e + (a_hi * c_lo + a_lo * c_hi)
+    return quick_two_sum(p, e)
+
+
+def coef_split12(c):
+    """Host/XLA-side 12-bit pre-split of an f64 coefficient VECTOR into
+    (ca, cb, c_lo) f32 triples with ca + cb == hi(c) exactly, each
+    factor ≤12 significand bits. Exists because Mosaic's tpu.bitcast
+    accepts only VECTOR operands — a kernel cannot _split12 its SMEM
+    coefficient scalars, so the split happens before the pallas_call
+    and the kernel multiplies with ``dd_mul_presplit``."""
+    hi, lo = dd_from_f64(c)
+    ca, cb = _split12(hi)
+    return ca, cb, lo
+
+
+def dd_mul_presplit(a, ca, cb, c_lo):
+    """dd × pre-split scalar (see coef_split12): every multiply is
+    exact (vector operand split in-kernel via the vector-legal
+    bitcast; ca/cb already ≤12 bits), so the product is FMA-
+    contraction-immune like two_prod."""
+    a_hi, a_lo = a
+    ah, al = _split12(a_hi)
+    p1 = ah * ca  # exact: 12×12-bit significands
+    p2 = ah * cb
+    p3 = al * ca
+    p4 = al * cb
+    s, e = two_sum(p2, p3)
+    e = e + p4
+    s, e2 = two_sum(p1, s)
+    e = e + e2
+    # correction terms (not exactness-critical)
+    e = e + (a_hi * c_lo + a_lo * (ca + cb))
+    return quick_two_sum(s, e)
 
 
 def dd_from_f64(x):

@@ -390,6 +390,14 @@ def _dd_blocked_kernel(nblocks: int):
 
     def kernel(xh_ref, xl_ref, th_ref, bh_ref, tl_ref, bl_ref,
                oh_ref, ol_ref):
+        from gmres_tpu.ops.dd import no_fences
+
+        with no_fences():  # Mosaic has no optimization_barrier
+            _dd_body(xh_ref, xl_ref, th_ref, bh_ref, tl_ref, bl_ref,
+                     oh_ref, ol_ref)
+
+    def _dd_body(xh_ref, xl_ref, th_ref, bh_ref, tl_ref, bl_ref,
+                 oh_ref, ol_ref):
         i = pl.program_id(0)
         xh, xl = xh_ref[:], xl_ref[:]
 
@@ -502,3 +510,133 @@ def stencil_5pt_f64_dd_chain(
         (hi, lo),
     )
     return dd_to_f64((hi, lo))
+
+
+def _dd_general_kernel(nblocks: int):
+    from gmres_tpu.ops.dd import dd_add, dd_mul_presplit
+
+    def kernel(coef_ref, xh_ref, xl_ref, th_ref, bh_ref, tl_ref,
+               bl_ref, oh_ref, ol_ref):
+        from gmres_tpu.ops.dd import no_fences
+
+        with no_fences():  # Mosaic has no optimization_barrier
+            _dd_gbody(coef_ref, xh_ref, xl_ref, th_ref, bh_ref,
+                      tl_ref, bl_ref, oh_ref, ol_ref)
+
+    def _dd_gbody(coef_ref, xh_ref, xl_ref, th_ref, bh_ref, tl_ref,
+                  bl_ref, oh_ref, ol_ref):
+        i = pl.program_id(0)
+        xh, xl = xh_ref[:], xl_ref[:]
+
+        def masked(win_ref, first):
+            w = win_ref[:]
+            keep = (i > 0) if first else (i < nblocks - 1)
+            return jnp.where(keep, w, jnp.zeros_like(w))
+
+        uh, dh, lh, rh = _dd_neighbors(
+            xh, masked(th_ref, True), masked(bh_ref, False)
+        )
+        ul, dl, ll, rl = _dd_neighbors(
+            xl, masked(tl_ref, True), masked(bl_ref, False)
+        )
+        # coef_ref holds (c0,cw,ce,cs,cn) PRE-SPLIT (coef_split12):
+        # [ca0..ca4, cb0..cb4, lo0..lo4] — Mosaic's bitcast is
+        # vector-only, so the scalar 12-bit splits happen before the
+        # pallas_call. Explicit f32 on the reads: under interpret+x64
+        # the SMEM scalars otherwise PROMOTE the whole dd chain to f64
+        # and the two independent f32 output roundings break the
+        # error-free hi/lo pairing (measured: 2e-7 instead of 1e-13).
+        def c(j):
+            return (coef_ref[j].astype(jnp.float32),
+                    coef_ref[5 + j].astype(jnp.float32),
+                    coef_ref[10 + j].astype(jnp.float32))
+
+        y = dd_mul_presplit((xh, xl), *c(0))
+        for j, pair in enumerate(
+            [(lh, ll), (rh, rl), (uh, ul), (dh, dl)]
+        ):
+            y = dd_add(y, dd_mul_presplit(pair, *c(1 + j)))
+        oh_ref[:] = y[0]
+        ol_ref[:] = y[1]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows")
+)
+def stencil_5pt_dd_general_pallas_blocked(
+    x_hi: jnp.ndarray,
+    x_lo: jnp.ndarray,
+    coefs: jnp.ndarray,
+    interpret: bool = False,
+    block_rows: int | None = None,
+):
+    """General-coefficient double-double stencil: (hi, lo) pair in/out
+    with ARBITRARY f64 coefficients carried as dd pairs (split in XLA,
+    10 SMEM scalars) — the non-power-of-two products go through the
+    Dekker two_prod (ops/dd.py), so convection-diffusion and varcoef
+    f64 stencils get the same Pallas route as Poisson. ~2^-48 relative
+    accuracy (tests/test_dd_stencil.py)."""
+    from gmres_tpu.ops.dd import coef_split12
+
+    ca, cb, c_lo = coef_split12(coefs.astype(jnp.float64))
+    cpack = jnp.concatenate([ca, cb, c_lo])
+    if not interpret:
+        with jax.enable_x64(False):
+            return _dd_general_impl(x_hi, x_lo, cpack, interpret,
+                                    block_rows)
+    return _dd_general_impl(x_hi, x_lo, cpack, interpret, block_rows)
+
+
+def _dd_general_impl(x_hi, x_lo, cpack, interpret, block_rows):
+    n = x_hi.shape[0]
+    if block_rows is None:
+        block_rows = _auto_block_rows(n, 1 << 19)
+    rows = min(block_rows, n)
+    if n % rows != 0:
+        raise ValueError(f"grid rows {n} not divisible by {rows}")
+    if rows % 8 != 0:
+        raise ValueError(f"block_rows {rows} must be divisible by 8")
+    ncols = x_hi.shape[1]
+    nblocks = n // rows
+    ratio = rows // 8
+    last8 = n // 8 - 1
+    block = pl.BlockSpec((rows, ncols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    win_above = pl.BlockSpec(
+        (8, ncols), lambda i: (jnp.maximum(i * ratio - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    win_below = pl.BlockSpec(
+        (8, ncols), lambda i: (jnp.minimum((i + 1) * ratio, last8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = jax.ShapeDtypeStruct((n, ncols), jnp.float32)
+    return pl.pallas_call(
+        _dd_general_kernel(nblocks),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  block, block, win_above, win_below, win_above,
+                  win_below],
+        out_specs=(block, block),
+        out_shape=(out, out),
+        interpret=interpret,
+    )(cpack, x_hi, x_lo, x_hi, x_hi, x_lo, x_lo)
+
+
+def stencil_5pt_general_f64_via_dd(
+    x: jnp.ndarray, coefs, interpret: bool = False
+) -> jnp.ndarray:
+    """One general-coefficient f64 stencil application through the dd
+    kernel (split → kernel → recombine; amortize in dd space the way
+    stencil_5pt_f64_dd_chain does for Poisson)."""
+    from gmres_tpu.ops.dd import dd_from_f64, dd_to_f64
+
+    hi, lo = dd_from_f64(x)
+    return dd_to_f64(
+        stencil_5pt_dd_general_pallas_blocked(
+            hi, lo, jnp.asarray(coefs, dtype=jnp.float64),
+            interpret=interpret,
+        )
+    )

@@ -120,3 +120,77 @@ def test_chained_applications_error_growth():
     for _ in range(k):
         y64 = stencil_5pt_apply(y64)
     assert _rel(y_dd, y64) < 1e-12
+
+
+def test_two_prod_error_free():
+    """p + e == a·b to ≤2⁻⁴⁸ relative (the exact-partial-products form
+    rounds once in its tail accumulation — see the two_prod docstring
+    for why the bit-exact Dekker form is NOT usable under XLA:CPU's
+    FMA contraction), under BOTH eager and jit execution."""
+    from gmres_tpu.ops.dd import two_prod
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal(1000), dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(1000), dtype=jnp.float32)
+    rhs = np.asarray(a).astype(np.float64) * np.asarray(b).astype(
+        np.float64)
+    for f in (two_prod, jax.jit(two_prod)):
+        p, e = f(a, b)
+        lhs = np.asarray(p).astype(np.float64) + np.asarray(e).astype(
+            np.float64)
+        # normalize by the PRODUCT SCALE, not per-element (near-zero
+        # products make per-element relative error meaningless)
+        err = np.max(np.abs(lhs - rhs)) / np.max(np.abs(rhs))
+        assert err < 2.0 ** -47
+
+
+def test_general_coefficients_vs_f64_oracle():
+    """Convection-diffusion coefficients (non-power-of-two — the
+    Dekker two_prod path) against the f64 general stencil."""
+    from gmres_tpu.models.convection_diffusion import (
+        convection_diffusion_coefs,
+    )
+    from gmres_tpu.ops.stencil import (
+        stencil_5pt_general,
+        stencil_5pt_general_f64_via_dd,
+    )
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((64, 64)))
+    coefs = convection_diffusion_coefs(0.4, 0.2)
+    y_dd = stencil_5pt_general_f64_via_dd(x, coefs, interpret=True)
+    y64 = stencil_5pt_general(x, *coefs)
+    assert _rel(y_dd, y64) < 1e-13
+
+
+def test_general_multiblock_parity():
+    from gmres_tpu.ops.dd import dd_from_f64, dd_to_f64
+    from gmres_tpu.ops.stencil import (
+        stencil_5pt_dd_general_pallas_blocked,
+    )
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((64, 64)))
+    coefs = jnp.asarray([4.3, -1.2, -0.7, -1.9, -0.1])
+    hi, lo = dd_from_f64(x)
+    one = stencil_5pt_dd_general_pallas_blocked(
+        hi, lo, coefs, interpret=True
+    )
+    many = stencil_5pt_dd_general_pallas_blocked(
+        hi, lo, coefs, interpret=True, block_rows=8
+    )
+    np.testing.assert_array_equal(np.asarray(one[0]), np.asarray(many[0]))
+    np.testing.assert_array_equal(np.asarray(one[1]), np.asarray(many[1]))
+    # and it reduces exactly to the Poisson kernel at (4,-1,-1,-1,-1)
+    from gmres_tpu.ops.stencil import stencil_5pt_dd_pallas_blocked
+
+    pc = jnp.asarray([4.0, -1.0, -1.0, -1.0, -1.0])
+    g = stencil_5pt_dd_general_pallas_blocked(hi, lo, pc,
+                                              interpret=True)
+    p = stencil_5pt_dd_pallas_blocked(hi, lo, interpret=True)
+    # the general kernel's two_prod rounds its tail accumulation
+    # (2^-48-level), the power-of-two specialization is exact — match
+    # to absolute dd precision, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(dd_to_f64(g)), np.asarray(dd_to_f64(p)), atol=1e-12
+    )
