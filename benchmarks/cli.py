@@ -449,32 +449,61 @@ def cmd_helmholtz(args):
             csl_multigrid_preconditioner,
         )
 
-        cdtype = (jnp.complex64 if args.precision in ("f32", "c64",
-                                                      "mixed")
-                  else jnp.complex128)
-        op = helmholtz_operator(n, kh2, args.damping)
-        b = op(jnp.ones((n, n), dtype=cdtype))
-        m_inv = csl_multigrid_preconditioner(n, kh2)
+        if args.precision == "split":
+            # SPLIT-COMPLEX: the TPU route — this v5e runtime has no
+            # complex datapath at all (c128 fails to compile, every
+            # c64 op fails at run time), so the complex class runs as
+            # the real-equivalent (2, N, N) system in PLAIN f64 with
+            # the split CSL cycle. restart 2x60: the real-equivalent
+            # space needs twice the dimension per complex mode and
+            # restart truncation is what hurts (measured ~2.7x the
+            # complex path's total iterations at 2m vs 20x+ at m).
+            from gmres_tpu.models.helmholtz import (
+                complex_to_split,
+                helmholtz_split_operator,
+                split_to_complex,
+            )
+
+            op = helmholtz_split_operator(n, kh2, args.damping)
+            x_star = jnp.ones((n, n), dtype=jnp.complex128)
+            b = complex_to_split(
+                helmholtz_operator(n, kh2, args.damping)(x_star)
+            )
+            m_inv = csl_multigrid_preconditioner(n, kh2,
+                                                 layout="split")
+            restart = 120
+        else:
+            cdtype = (jnp.complex64 if args.precision in ("f32", "c64",
+                                                          "mixed")
+                      else jnp.complex128)
+            op = helmholtz_operator(n, kh2, args.damping)
+            b = op(jnp.ones((n, n), dtype=cdtype))
+            m_inv = csl_multigrid_preconditioner(n, kh2)
+            restart = 60
         fn = jax.jit(
             lambda bb: gt.gmres(
-                op, bb, restart=60, tol=args.tol, M=m_inv,
+                op, bb, restart=restart, tol=args.tol, M=m_inv,
                 variant="mgsr", certify="true", compute_v_err=False,
-                max_restarts=max(args.max_iterations // 60, 1),
+                max_restarts=max(args.max_iterations // restart, 1),
             )
         )
         res, dt = _timed(fn, b)
-        total_inner = (max(int(res.restarts) - 1, 0) * 60
+        total_inner = (max(int(res.restarts) - 1, 0) * restart
                        + int(res.iterations))
         _emit(
             [
                 record_from_result(
                     f"gmres-csl-helmholtz-{n}x{n}", res,
-                    x_true=jnp.ones((n, n), dtype=cdtype),
+                    x_true=(complex_to_split(x_star)
+                            if args.precision == "split"
+                            else jnp.ones((n, n), dtype=cdtype)),
                     wall_s=dt, tol=args.tol, nnz=5 * n * n - 4 * n,
                     extra={"matvecs": total_inner + int(res.restarts),
                            "kh2": kh2, "damping": args.damping,
                            "precond": "csl",
-                           "precision": jnp.dtype(cdtype).name},
+                           "precision": (
+                               "split-f64" if args.precision == "split"
+                               else jnp.dtype(cdtype).name)},
                 )
             ],
             args,
@@ -794,11 +823,33 @@ def cmd_evolve(args):
             converged=True, **vars(shim)
         )
     else:
+        M = None
+        if args.precond == "mg":
+            # Production implicit-stepping preconditioner (the shift=
+            # docstring's use case, precond/multigrid.py): S = I +
+            # theta*dt*L = theta*dt*(L + sigma*I) with sigma =
+            # 1/(theta*dt), so M_S(r) = cycle(r)/(theta*dt) with the
+            # sigma-shifted convdiff (or Poisson) cycle. Without it
+            # the unpreconditioned GMRES arm STAGNATES on the stiff
+            # implicit operator and the 50-step single-dispatch
+            # trajectory trips the ~30 s device watchdog (observed
+            # twice: TPU worker crash, CLAUDE.md rule 4).
+            sigma = 1.0 / (args.theta * args.dt)
+            if args.model == "convdiff":
+                cyc = gt.convection_diffusion_multigrid_preconditioner(
+                    n, args.gamma_x, args.gamma_y, shift=sigma,
+                )
+            else:
+                cyc = gt.helmholtz_shifted_laplacian_preconditioner(
+                    n, -sigma
+                )
+            scale = args.theta * args.dt
+            M = lambda r: cyc(r) / scale  # noqa: E731
         fn = jax.jit(lambda u: gt.theta_evolve(
             L, u, dt=args.dt, n_steps=args.steps, theta=args.theta,
             solver=args.solver, tol=args.tol, restart=args.restart,
             recycle_k=args.k, max_restarts=args.max_restarts,
-            max_iterations=args.max_iterations,
+            max_iterations=args.max_iterations, M=M,
         ))
         res, dt_wall = _timed(fn, u0)
         iters = np.asarray(res.iterations)
@@ -815,6 +866,7 @@ def cmd_evolve(args):
                 extra={
                     "model": args.model,
                     "solver": args.solver,
+                    "precond": getattr(args, "precond", "none"),
                     "theta": args.theta,
                     "dt": args.dt,
                     "n_steps": args.steps,
@@ -1543,7 +1595,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("evolve", cmd_evolve, nsize=256, dt=1.0, steps=50, theta=0.5,
         model="convdiff", gamma_x=2.0, gamma_y=1.0, solver="gcrodr",
         tol=1e-9, restart=40, k=10, max_restarts=100,
-        max_iterations=2000, expm_steps=30)
+        max_iterations=2000, expm_steps=30, precond="none")
     return p
 
 

@@ -88,10 +88,13 @@ from gmres_tpu.models.convection_diffusion import (
     convection_diffusion_operator,
 )
 from gmres_tpu.models.helmholtz import (
+    complex_to_split,
     helmholtz_apply,
     helmholtz_lambda_min,
     helmholtz_matrix,
     helmholtz_operator,
+    helmholtz_split_operator,
+    split_to_complex,
 )
 from gmres_tpu.models.poisson3d import (
     poisson3d_apply,
@@ -226,6 +229,9 @@ __all__ = [
     "convection_diffusion_apply",
     "convection_diffusion_operator",
     "helmholtz_apply",
+    "helmholtz_split_operator",
+    "complex_to_split",
+    "split_to_complex",
     "helmholtz_lambda_min",
     "helmholtz_matrix",
     "helmholtz_operator",

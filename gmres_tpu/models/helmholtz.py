@@ -90,3 +90,52 @@ def helmholtz_matrix(
         + cn * jnp.eye(nsize, k=1, dtype=dtype)
     )
     return jnp.kron(eye, kx) + jnp.kron(ky, eye)
+
+
+def helmholtz_split_operator(
+    nsize: int, kh2: float = 0.5, damping: float = 0.0
+) -> Callable:
+    """SPLIT-COMPLEX Helmholtz operator: the complex field u = uʳ + i·uⁱ
+    carried as a STACKED REAL array (2, N, N) — the TPU-native complex
+    representation. This v5e runtime has NO complex datapath at all
+    (measured, round 4: c128 fails to COMPILE — "Element type C128 is
+    not supported" — and every c64 op fails at RUN time with
+    UNIMPLEMENTED, including add), so the complex Helmholtz class runs
+    on TPU through the real-equivalent formulation
+
+        (A + iB)(uʳ + i·uⁱ) = b  ⇔  [A −B; B A][uʳ; uⁱ] = [bʳ; bⁱ],
+
+    which for the damped stencil is two real stencil applications plus
+    the 2×2 rotation of the center term. Spectrum {λ, λ̄} — GMRES on
+    the real form converges like the complex solve (conjugate pairs
+    were already present in the complex nonsymmetric spectrum) — and
+    the arithmetic is plain f32/f64, so the TPU rows can run at f64
+    tolerances no c64 path could reach. The (2, N, N) stack is an
+    ordinary vector to every solver (their dots/norms are exactly the
+    real and imaginary parts' joint 2-norm = the complex 2-norm).
+
+    CPU parity oracle: ``helmholtz_operator(..., damping)`` on c128
+    (tests/test_helmholtz_split.py)."""
+    kh2 = float(kh2)
+    alpha = float(damping)
+
+    def apply_pair(u: jnp.ndarray) -> jnp.ndarray:
+        ur, ui = u[0], u[1]
+        lap_r = stencil_5pt_general(ur, 4.0, -1.0, -1.0, -1.0, -1.0)
+        lap_i = stencil_5pt_general(ui, 4.0, -1.0, -1.0, -1.0, -1.0)
+        # −(1 + iα)·kh2·u: re −kh2·(ur − α·ui), im −kh2·(α·ur + ui)
+        out_r = lap_r - kh2 * (ur - alpha * ui)
+        out_i = lap_i - kh2 * (alpha * ur + ui)
+        return jnp.stack([out_r, out_i])
+
+    return apply_pair
+
+
+def complex_to_split(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, N) complex → (2, N, N) real stack (host/CPU-side helper for
+    oracles and rhs construction)."""
+    return jnp.stack([jnp.real(x), jnp.imag(x)])
+
+
+def split_to_complex(u: jnp.ndarray) -> jnp.ndarray:
+    return u[0] + 1j * u[1]

@@ -949,6 +949,7 @@ def csl_multigrid_preconditioner(
     coarse_iters: int = 32,
     mesh=None,
     replicate_below: int | None = None,
+    layout: str = "complex",
 ) -> Callable:
     """COMPLEX shifted-Laplacian V-cycle for the Helmholtz stencil:
     M ≈ (−Δ − (β₁ + iβ₂)k²)⁻¹ with shift = (β₁, β₂), the
@@ -975,11 +976,23 @@ def csl_multigrid_preconditioner(
     Returns a complex-to-complex callable; use with
     ``gmres(..., variant="mgsr")`` (the complex-capable variant) on
     ``helmholtz_operator(n, kh2, damping=...)`` systems.
+
+    layout="split": the SPLIT-COMPLEX form — the same cycle acting on
+    the (2, N, N) real re/im stack of
+    ``models/helmholtz.py:helmholtz_split_operator``, every complex
+    scalar multiply expanded to its 2×2 real rotation. This is the
+    TPU route: the v5e runtime has no complex datapath at all
+    (measured: c128 fails to compile, every c64 op fails at run time),
+    while the split cycle is plain f32/f64 stencils. Exactly equal to
+    the complex cycle on CPU (tests/test_helmholtz_split.py pins the
+    dense identification).
     """
     import jax
 
     from gmres_tpu.ops.stencil import stencil_5pt_general
 
+    if layout not in ("complex", "split"):
+        raise ValueError(f"unknown layout {layout!r}")
     beta = complex(float(shift[0]), float(shift[1]))
     if levels is None:
         levels = 1
@@ -1016,21 +1029,59 @@ def csl_multigrid_preconditioner(
         def pin(x):
             return x
 
+    if layout == "split":
+        # Complex scalar × (2, N, N) stack = the 2×2 real rotation.
+        def cmul(c, z):
+            zr, zi = z[0], z[1]
+            return jnp.stack([
+                c.real * zr - c.imag * zi,
+                c.imag * zr + c.real * zi,
+            ])
+
+        def apply_l_raw(x, l):
+            c0 = coefs[l][0]
+            nb = jnp.stack([
+                stencil_5pt_general(x[0], 0.0, -1.0, -1.0, -1.0, -1.0),
+                stencil_5pt_general(x[1], 0.0, -1.0, -1.0, -1.0, -1.0),
+            ])
+            return cmul(c0, x) + nb
+
+        def scale_step(l, v):
+            return cmul(omega / coefs[l][0], v)
+
+        def restrict_(x):
+            return jnp.stack(
+                [restrict_sum(x[0]), restrict_sum(x[1])]
+            )
+
+        def prolong_(x):
+            return jnp.stack(
+                [prolong_repeat(x[0]), prolong_repeat(x[1])]
+            )
+    else:
+        def apply_l_raw(x, l):
+            return stencil_5pt_general(x, *coefs[l])
+
+        def scale_step(l, v):
+            return (omega / coefs[l][0]) * v
+
+        restrict_ = restrict_sum
+        prolong_ = prolong_repeat
+
     def apply_l(x, l):
         if l >= replicate_from:
-            return pin(stencil_5pt_general(pin(x), *coefs[l]))
-        return stencil_5pt_general(x, *coefs[l])
+            return pin(apply_l_raw(pin(x), l))
+        return apply_l_raw(x, l)
 
     def smooth(r, l, iters):
-        step = omega / coefs[l][0]
-        e = step * r
+        e = scale_step(l, r)
         if iters <= 4:
             for _ in range(iters - 1):
-                e = e + step * (r - apply_l(e, l))
+                e = e + scale_step(l, r - apply_l(e, l))
             return e
         return jax.lax.fori_loop(
             0, iters - 1,
-            lambda _, ee: ee + step * (r - apply_l(ee, l)),
+            lambda _, ee: ee + scale_step(l, r - apply_l(ee, l)),
             e,
         )
 
@@ -1040,8 +1091,8 @@ def csl_multigrid_preconditioner(
         if l == levels - 1:
             return smooth(r, l, coarse_iters)
         e = smooth(r, l, pre_smooth)
-        rc = restrict_sum(r - apply_l(e, l))
-        e = e + prolong_repeat(v_cycle(rc, l + 1))
+        rc = restrict_(r - apply_l(e, l))
+        e = e + prolong_(v_cycle(rc, l + 1))
         return e + smooth(r - apply_l(e, l), l, post_smooth)
 
     def m_inv(r: jnp.ndarray) -> jnp.ndarray:

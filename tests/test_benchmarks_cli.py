@@ -83,6 +83,8 @@ from benchmarks.cli import main
         ["eig", "--nsize", "16", "--k", "4", "--tol", "1e-4",
          "--method", "arnoldi", "--steps", "20", "--precision", "f32",
          "--max-iterations", "200"],
+        ["helmholtz", "--nsize", "32", "--kh2", "0.2", "--tol", "1e-7",
+         "--precond", "csl", "--precision", "split"],
     ],
 )
 def test_cli_smoke(argv, capsys):
