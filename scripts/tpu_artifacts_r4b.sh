@@ -37,6 +37,20 @@ timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
   --dt 1.0 --solver gcrodr --tol 1e-9 --precond mg \
   --jsonl artifacts/evolve_tpu.jsonl
 
+# Tail steps of the main r4 batch, repeated here because an edit to
+# the running script file shifted bash's read offset and the tail's
+# execution is unreliable (lesson: never edit a running script).
+timeout 1800 python -m benchmarks.cli evolve --model heat \
+  --solver expm --nsize 512 --steps 50 --dt 0.5 --expm-steps 30 \
+  --jsonl artifacts/evolve_tpu.jsonl
+timeout 1800 python -m benchmarks.cli convdiff --nsize 64 \
+  --tol 1e-9 --precond poly --solver gmres --poly-degree 24 \
+  --jsonl artifacts/convdiff_tpu.jsonl
+timeout 1800 python -m benchmarks.cli convdiff --nsize 128 \
+  --tol 1e-9 --precond poly --solver gmres --poly-degree 48 \
+  --jsonl artifacts/convdiff_tpu.jsonl
+timeout 3000 python bench.py > artifacts/bench_decomposed_tpu.json
+
 # JFNK + gcrodr-inner recycling evidence at a size where the
 # UNPRECONDITIONED inner is feasible (1024² unpreconditioned stalls
 # the line search at kappa ~ 4e5; the documented win case is 64-256).
