@@ -64,6 +64,7 @@ def fgmres(
     inner_dtype=None,
     x0: Optional[jnp.ndarray] = None,
     compute_v_err: bool = False,
+    breakdown_check: bool = True,
 ) -> GmresResult:
     """Solve A x = b by restarted FGMRES(restart) (module docstring).
 
@@ -180,9 +181,15 @@ def fgmres(
             v_basis = v_basis.at[t + 1].set(
                 w / jnp.where(h_val > 0, h_val, 1.0)
             )
-            converged = (rel < inner_floor) | (
-                h_val.astype(dtype) < tol
-            )
+            converged = rel < inner_floor
+            if breakdown_check:
+                # reference lucky-breakdown semantics: h_val is an
+                # ABSOLUTE subdiagonal compared against a RELATIVE tol
+                # — sound for tiny tolerances, a misfire at loose ones
+                # (inexact-Newton forcing eta ~ 0.5 exits cycles at
+                # t=3 and the outer then declares BREAKDOWN; measured
+                # on 1024^2 Bratu). Gate it like gmres does.
+                converged = converged | (h_val.astype(dtype) < tol)
             return (
                 (t + 1, v_basis, z_basis, hmat, giv,
                  h_val.astype(dtype), t + 1, ferr),
@@ -216,7 +223,7 @@ def fgmres(
     basis_init = jnp.zeros((m + 1,) + shape, dtype=work_dtype)
     x, k, n_out, ferr, v_basis, status, residual = _restarted(
         cycle, op, b, x0, m, tol, max_restarts, None, mixed,
-        breakdown_check=True, basis_init=basis_init,
+        breakdown_check=breakdown_check, basis_init=basis_init,
         certify_true=False, work_dtype=work_dtype,
     )
 

@@ -224,6 +224,11 @@ def newton_krylov(
                 max_restarts=max_restarts,
                 M=M,
                 inner_dtype=inner_dtype,
+                # same lucky-breakdown misfire as the gmres inner: the
+                # ABSOLUTE h_val vs the LOOSE forcing eta exits cycles
+                # at t~3 and flags BREAKDOWN (measured: the 1024^2 f64
+                # row stalled at ||F0|| through CPU and TPU alike).
+                breakdown_check=False,
             )
         else:
             res = gmres(
