@@ -33,9 +33,13 @@ timeout 1800 python -m benchmarks.cli eig --nsize 1024 --k 4 \
 timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
   --dt 1.0 --solver gmres --tol 1e-9 --precond mg \
   --jsonl artifacts/evolve_tpu.jsonl
-timeout 1800 python -m benchmarks.cli evolve --nsize 512 --steps 50 \
-  --dt 1.0 --solver gcrodr --tol 1e-9 --precond mg \
-  --jsonl artifacts/evolve_tpu.jsonl
+# gcrodr rows (evolve --solver gcrodr, bratu --inner gcrodr, the
+# sequence sweep) are NOT RUNNABLE on this runtime: GCRO-DR's in-jit
+# harmonic-Ritz eigensolver (ops/hessenberg_eig.py) is complex
+# arithmetic, and this axon libtpu has no complex support at all —
+# the remote compile helper SIGABRTs on the program (c64 ops also
+# fail UNIMPLEMENTED at run time in plain probes). CPU-mesh evidence
+# stands; recorded as a standing runtime limitation in BASELINE.md.
 
 # Tail steps of the main r4 batch, repeated here because an edit to
 # the running script file shifted bash's read offset and the tail's
@@ -55,8 +59,20 @@ timeout 3000 python bench.py > artifacts/bench_decomposed_tpu.json
 # UNPRECONDITIONED inner is feasible (1024² unpreconditioned stalls
 # the line search at kappa ~ 4e5; the documented win case is 64-256).
 timeout 1800 python -m benchmarks.cli bratu --nsize 256 --lam 5.0 \
-  --tol 1e-9 --precond none --inner gcrodr --max-newton 50 \
-  --jsonl artifacts/bratu_tpu.jsonl
-timeout 1800 python -m benchmarks.cli bratu --nsize 256 --lam 5.0 \
   --tol 1e-9 --precond none --max-newton 50 \
   --jsonl artifacts/bratu_tpu.jsonl
+# (the --inner gcrodr arm is blocked by the same complex-eig
+# compile SIGABRT as above)
+
+# slq re-record at a feasible memory footprint (the r4 attempt at
+# probes 8,16,32 / steps 40 / 512^2 f64 exhausted HBM in the batched
+# Lanczos temporaries).
+timeout 1800 python -m benchmarks.cli slq --nsize 512 \
+  --probes-list 4,8,16 --steps 30 --jsonl artifacts/slq_tpu.jsonl
+
+# f64 bratu rerun with the fgmres breakdown_check fix (the r4 row
+# stalled at ||F0||: fgmres's hardcoded lucky-breakdown exit fired at
+# the loose Eisenstat-Walker forcing; CPU now converges 5 Newton / 26
+# inner).
+timeout 1800 python -m benchmarks.cli bratu --nsize 1024 --lam 5.0 \
+  --tol 1e-9 --jsonl artifacts/bratu_tpu.jsonl
