@@ -459,16 +459,17 @@ def cmd_helmholtz(args):
             # restart truncation is what hurts (measured ~2.7x the
             # complex path's total iterations at 2m vs 20x+ at m).
             from gmres_tpu.models.helmholtz import (
-                complex_to_split,
                 helmholtz_split_operator,
-                split_to_complex,
             )
 
             op = helmholtz_split_operator(n, kh2, args.damping)
-            x_star = jnp.ones((n, n), dtype=jnp.complex128)
-            b = complex_to_split(
-                helmholtz_operator(n, kh2, args.damping)(x_star)
-            )
+            # rhs built REAL end-to-end: a complex128 jnp.ones would
+            # trace c128 ops on the device and fail the TPU compile
+            # (observed: "Element type C128 is not supported").
+            x_star_split = jnp.stack([
+                jnp.ones((n, n)), jnp.zeros((n, n))
+            ])
+            b = op(x_star_split)
             m_inv = csl_multigrid_preconditioner(n, kh2,
                                                  layout="split")
             restart = 120
@@ -494,7 +495,7 @@ def cmd_helmholtz(args):
             [
                 record_from_result(
                     f"gmres-csl-helmholtz-{n}x{n}", res,
-                    x_true=(complex_to_split(x_star)
+                    x_true=(x_star_split
                             if args.precision == "split"
                             else jnp.ones((n, n), dtype=cdtype)),
                     wall_s=dt, tol=args.tol, nnz=5 * n * n - 4 * n,

@@ -521,3 +521,53 @@ def eig_select(a: jnp.ndarray, nvec: int, *, which: str = "smallest",
     nrm = jnp.sqrt(jnp.sum(jnp.abs(vecs) ** 2, axis=0))
     vecs = vecs / jnp.where(nrm > 0, nrm, 1.0)[None, :]
     return vals, vecs, ok
+
+
+def smallest_invariant_subspace(
+    a: jnp.ndarray, k: int, *, iters: int = 40
+):
+    """REAL-arithmetic approximate orthonormal basis (n, k) for the
+    invariant subspace of the k smallest-|λ| eigenvalues of a REAL
+    matrix: orthogonal (subspace) iteration on A⁻¹ — one
+    ``solve_small`` inverse plus ``iters`` small (n, k) matmul+QR
+    rounds, all replicated, NO complex arithmetic.
+
+    Why this exists: the exact route (``eig_select`` → realified
+    eigenvector columns) runs the in-jit COMPLEX QR eigensolver, and
+    the axon v5e runtime has no complex datapath at all (c128 fails to
+    compile; every c64 op fails at run time; the remote compiler
+    SIGABRTs on complex while_loops) — so GCRO-DR/GMRES-DR deflation
+    could not COMPILE on TPU. This routine is the TPU-compilable
+    alternative behind their ``deflation="subspace"`` option.
+
+    Quality contract: converges to the exact invariant subspace at
+    rate (|λ_k|/|λ_{k+1}|)^iters; a PARTIALLY converged span is still
+    a useful deflation space (deflation degrades gracefully — the
+    consumers' true-residual certification is unaffected). A complex
+    conjugate pair straddling the k-cut has no k-dimensional real
+    invariant subspace; the iteration then returns a span mixing the
+    pair, which deflates the pair's modulus class just as well.
+
+    Returns (z, ok): z (n, k) with orthonormal columns (zeros when
+    ok=False — singular a or non-finite iterates; callers keep their
+    existing fallback guards).
+    """
+    from gmres_tpu.ops.tri import solve_small
+
+    n = a.shape[0]
+    ai = solve_small(a, jnp.eye(n, dtype=a.dtype))
+    z0 = jax.random.normal(
+        jax.random.PRNGKey(7), (n, k), dtype=a.dtype
+    )
+    z0, _ = jnp.linalg.qr(z0, mode="reduced")
+
+    def step(_, z):
+        q, _ = jnp.linalg.qr(
+            jnp.matmul(ai, z, precision=jax.lax.Precision.HIGHEST),
+            mode="reduced",
+        )
+        return q
+
+    z = jax.lax.fori_loop(0, iters, step, z0)
+    ok = jnp.all(jnp.isfinite(z))
+    return jnp.where(ok, z, jnp.zeros_like(z)), ok

@@ -445,7 +445,11 @@ def stencil_5pt_dd_pallas_blocked(
 def _dd_blocked_impl(x_hi, x_lo, interpret, block_rows):
     n = x_hi.shape[0]
     if block_rows is None:
-        block_rows = _auto_block_rows(n, 1 << 19)
+        # HALF the f32 kernel's budget: the dd kernel carries twice
+        # the buffers (hi+lo blocks, 4 halo windows, 2 outputs) and
+        # the 2^19 budget exceeded Mosaic's 16M scoped-vmem limit at
+        # 4096² (measured: 22.16M requested).
+        block_rows = _auto_block_rows(n, 1 << 18)
     rows = min(block_rows, n)
     if n % rows != 0:
         raise ValueError(f"grid rows {n} not divisible by {rows}")
@@ -592,7 +596,8 @@ def stencil_5pt_dd_general_pallas_blocked(
 def _dd_general_impl(x_hi, x_lo, cpack, interpret, block_rows):
     n = x_hi.shape[0]
     if block_rows is None:
-        block_rows = _auto_block_rows(n, 1 << 19)
+        # see _dd_blocked_impl: half budget for the doubled buffer set
+        block_rows = _auto_block_rows(n, 1 << 18)
     rows = min(block_rows, n)
     if n % rows != 0:
         raise ValueError(f"grid rows {n} not divisible by {rows}")

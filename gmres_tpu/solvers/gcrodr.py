@@ -50,7 +50,10 @@ import jax
 import jax.numpy as jnp
 
 from gmres_tpu.ops.givens import givens_init, givens_step
-from gmres_tpu.ops.hessenberg_eig import eig_select
+from gmres_tpu.ops.hessenberg_eig import (
+    eig_select,
+    smallest_invariant_subspace,
+)
 from gmres_tpu.ops.tri import masked_back_substitution, solve_small
 from gmres_tpu.solvers.block_gmres import _orthonormalize_block
 from gmres_tpu.types import LinearOperator, Preconditioner, SolverStatus
@@ -119,6 +122,7 @@ def gcrodr(
     M: Optional[Preconditioner] = None,
     recycle: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
+    deflation: str = "auto",
 ) -> RecycledResult:
     """Solve A x = b with GCRO-DR(restart, k).
 
@@ -142,6 +146,16 @@ def gcrodr(
         — the valid initial carry for lax.while_loop callers that
         cannot branch on None (solvers/newton_krylov.py).
       x0: initial guess (zeros default).
+      deflation: how the harmonic-Ritz deflation space is extracted.
+        "eig" = the exact route (in-jit complex QR eigensolver +
+        realified eigenvector columns); "subspace" = REAL-only inverse
+        subspace iteration (ops/hessenberg_eig.py:
+        smallest_invariant_subspace) — required on runtimes without a
+        complex datapath (this axon v5e: c64/c128 unusable, the
+        complex eigensolver SIGABRTs the TPU compiler); "auto"
+        (default) = "subspace" on TPU backends, "eig" elsewhere.
+        Deflation QUALITY differs only by the extraction accuracy;
+        every exit is still certified on the true residual.
     """
     if jnp.issubdtype(b.dtype, jnp.complexfloating):
         raise ValueError("gcrodr supports real dtypes only")
@@ -177,6 +191,21 @@ def gcrodr(
     beta0s = jnp.where(beta0 > 0, beta0, 1.0)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = rhs - op(x) if x0 is not None else rhs
+
+    if deflation == "auto":
+        deflation = ("subspace" if jax.default_backend() == "tpu"
+                     else "eig")
+    if deflation not in ("eig", "subspace"):
+        raise ValueError(f"unknown deflation {deflation!r}")
+
+    def _deflation_coefs(mat, nvec):
+        """(dim, nvec) REAL combination matrix spanning the
+        smallest-|theta| harmonic-Ritz space, by the configured
+        extraction route (see the deflation arg)."""
+        if deflation == "subspace":
+            return smallest_invariant_subspace(mat, nvec)
+        vals, vecs, okc = eig_select(mat, nvec, which="smallest")
+        return _realify(vals, vecs, nvec, eps).astype(dtype), okc
 
     def renormalize(u_block, au_block):
         """(U, op·U) → (U', C) with op·U' = C orthonormal."""
@@ -278,8 +307,8 @@ def gcrodr(
         m1 = gmat.T @ gmat
         m2 = gmat.T @ fmat
         pencil = solve_small(m2, m1)  # TPU: no f64 LuDecomposition
-        vals, vecs, okc = eig_select(pencil, k, which="smallest")
-        z = _realify(vals, vecs, k, eps).astype(dtype)  # (km, k)
+        z, okc = _deflation_coefs(pencil, k)  # (km, k)
+        z = z.astype(dtype)
         u_new = jnp.tensordot(
             z, jnp.concatenate([u_blk, basis[:m]], axis=0),
             axes=(0, 0),
@@ -308,8 +337,8 @@ def gcrodr(
         em = jnp.zeros((m,), dtype).at[m - 1].set(1.0)
         f = solve_small(hm.T, em)  # TPU: no f64 LuDecomposition
         cmat = hm.at[:, m - 1].add(hraw[m, m - 1] ** 2 * f)
-        vals, vecs, okc = eig_select(cmat, k, which="smallest")
-        z = _realify(vals, vecs, k, eps).astype(dtype)  # (m, k)
+        z, okc = _deflation_coefs(cmat, k)  # (m, k)
+        z = z.astype(dtype)
         u_new = jnp.tensordot(z, basis[:m], axes=(0, 0))
         au_new = jnp.tensordot(hraw @ z, basis, axes=(0, 0))
         u_blk, c_blk = renormalize(u_new, au_new)

@@ -53,7 +53,10 @@ import jax.numpy as jnp
 from gmres_tpu.ops.tri import solve_small
 from gmres_tpu.ops.blas import tree_vdot
 from gmres_tpu.ops.givens import GivensState, givens_step
-from gmres_tpu.ops.hessenberg_eig import eig_select
+from gmres_tpu.ops.hessenberg_eig import (
+    eig_select,
+    smallest_invariant_subspace,
+)
 from gmres_tpu.ops.tri import masked_back_substitution
 from gmres_tpu.solvers.gmres import _as_operator, _cgs_pass, _v_err_mgsr
 from gmres_tpu.types import (
@@ -74,6 +77,7 @@ def gmres_dr(
     M: Optional[Preconditioner] = None,
     x0: Optional[jnp.ndarray] = None,
     compute_v_err: bool = False,
+    deflation: str = "auto",
 ) -> GmresResult:
     """Solve A x = b by GMRES-DR(restart, deflate) (module docstring).
 
@@ -119,6 +123,11 @@ def gmres_dr(
     shape = b.shape
     m = min(restart, b.size - 1)
     k = max(min(int(deflate), m - 2), 0)
+    if deflation == "auto":
+        deflation = ("subspace" if jax.default_backend() == "tpu"
+                     else "eig")
+    if deflation not in ("eig", "subspace"):
+        raise ValueError(f"unknown deflation {deflation!r}")
     kb = k + 1  # realification slot budget (pair may straddle the cut)
     tiny = jnp.finfo(dtype).tiny
     eps = jnp.finfo(dtype).eps
@@ -226,28 +235,44 @@ def gmres_dr(
         # f = H^{-T} e_m  — only the LAST column is modified.
         f = solve_small(hm.T, em)  # TPU: no f64 LuDecomposition
         cmat = hm.at[:, m - 1].add(h2 * f)
-        vals, vecs, ok = eig_select(cmat, kb, which="smallest")
-        # Realify: slot i takes Re(g_i), or Im(g_{i-1}) when theta_i is
-        # the conjugate partner of theta_{i-1} (equal-modulus adjacency
-        # after the sort).
-        ptol = 64.0 * eps
-        prev = jnp.roll(vals[:kb], 1)
-        mods = jnp.abs(vals[:kb])
-        pair_second = (
-            (jnp.arange(kb) >= 1)
-            & (jnp.abs(vals[:kb] - jnp.conj(prev)) <= ptol * (mods + 1.0))
-            & (jnp.abs(vals[:kb].imag) > ptol * (mods + 1.0))
-        )
-        if k > 0:
-            keff = jnp.int32(k) + pair_second[k].astype(jnp.int32)
+        if deflation == "subspace":
+            # REAL-only extraction (see gcrodr's deflation doc): an
+            # orthonormal k-dim span from inverse subspace iteration;
+            # no conjugate-pair bookkeeping — a straddling pair is
+            # mixed into the span, which deflates its modulus class.
+            if k > 0:
+                zsub, ok = smallest_invariant_subspace(cmat, k)
+            else:
+                zsub = jnp.zeros((m, 0), dtype)
+                ok = jnp.array(True)
+            keff = jnp.int32(k)
+            cols = jnp.zeros((m, kb), dtype)
+            if k > 0:
+                cols = cols.at[:, :k].set(zsub.astype(dtype))
         else:
-            keff = jnp.int32(0)
-        cols = jnp.where(
-            pair_second[None, :],
-            jnp.roll(vecs, 1, axis=1).imag,
-            vecs.real,
-        ).astype(dtype)
-        cols = jnp.where(jnp.arange(kb)[None, :] < keff, cols, 0.0)
+            vals, vecs, ok = eig_select(cmat, kb, which="smallest")
+            # Realify: slot i takes Re(g_i), or Im(g_{i-1}) when
+            # theta_i is the conjugate partner of theta_{i-1}
+            # (equal-modulus adjacency after the sort).
+            ptol = 64.0 * eps
+            prev = jnp.roll(vals[:kb], 1)
+            mods = jnp.abs(vals[:kb])
+            pair_second = (
+                (jnp.arange(kb) >= 1)
+                & (jnp.abs(vals[:kb] - jnp.conj(prev))
+                   <= ptol * (mods + 1.0))
+                & (jnp.abs(vals[:kb].imag) > ptol * (mods + 1.0))
+            )
+            if k > 0:
+                keff = jnp.int32(k) + pair_second[k].astype(jnp.int32)
+            else:
+                keff = jnp.int32(0)
+            cols = jnp.where(
+                pair_second[None, :],
+                jnp.roll(vecs, 1, axis=1).imag,
+                vecs.real,
+            ).astype(dtype)
+            cols = jnp.where(jnp.arange(kb)[None, :] < keff, cols, 0.0)
         p_m, _ = jnp.linalg.qr(cols)  # (m, kb)
         p_m = jnp.where(jnp.arange(kb)[None, :] < keff, p_m, 0.0)
         pbar = jnp.zeros((m + 1, kb + 1), dtype).at[:m, :kb].set(p_m)

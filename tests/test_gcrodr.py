@@ -123,3 +123,33 @@ def test_sharded_parity():
     np.testing.assert_allclose(
         np.asarray(sh.x), np.asarray(base.x), atol=1e-8
     )
+
+
+def test_subspace_deflation_matches_eig_quality():
+    """deflation="subspace" (the complex-free TPU route) must solve
+    the same sequence workload in a comparable iteration budget to the
+    exact eig extraction."""
+    n = 64
+    op = gt.convection_diffusion_operator(n, 0.4, 0.2)
+    x_true = jnp.asarray(
+        np.random.default_rng(0).standard_normal((n, n))
+    )
+    b = op(x_true)
+    r_eig = gcrodr(op, b, k=8, restart=30, tol=1e-9,
+                   max_restarts=100, deflation="eig")
+    r_sub = gcrodr(op, b, k=8, restart=30, tol=1e-9,
+                   max_restarts=100, deflation="subspace")
+    assert bool(r_eig.converged) and bool(r_sub.converged)
+    assert int(r_sub.restarts) <= int(r_eig.restarts) + 2
+    np.testing.assert_allclose(
+        np.asarray(r_sub.x), np.asarray(x_true), atol=1e-6
+    )
+    # and the recycle pays on a second solve, same as the eig route
+    b2 = op(2.0 * x_true)
+    warm = gcrodr(op, b2, k=8, restart=30, tol=1e-9,
+                  max_restarts=100, recycle=r_sub.recycle,
+                  deflation="subspace")
+    cold = gcrodr(op, b2, k=8, restart=30, tol=1e-9,
+                  max_restarts=100, deflation="subspace")
+    assert bool(warm.converged)
+    assert int(warm.restarts) <= int(cold.restarts)

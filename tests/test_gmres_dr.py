@@ -170,3 +170,24 @@ def test_max_restarts_status():
     res = gmres_dr(a, b, restart=8, deflate=2, tol=1e-14,
                    max_restarts=2)
     assert int(res.status) == int(SolverStatus.MAX_ITERATIONS)
+
+
+def test_subspace_deflation_matches_eig_quality():
+    """deflation="subspace" (the complex-free TPU route) converges in
+    a comparable cycle count to the exact eig extraction on the
+    small-eigenvalue-dominated workload GMRES-DR exists for."""
+    n = 48
+    op = gt.poisson_operator(n)
+    x_true = jnp.asarray(
+        np.random.default_rng(1).standard_normal((n, n))
+    )
+    b = op(x_true)
+    r_eig = gt.gmres_dr(op, b, restart=25, deflate=8, tol=1e-9,
+                        max_restarts=400, deflation="eig")
+    r_sub = gt.gmres_dr(op, b, restart=25, deflate=8, tol=1e-9,
+                        max_restarts=400, deflation="subspace")
+    assert bool(r_eig.converged) and bool(r_sub.converged)
+    assert int(r_sub.restarts) <= int(r_eig.restarts) * 2
+    np.testing.assert_allclose(
+        np.asarray(r_sub.x), np.asarray(x_true), atol=1e-6
+    )
