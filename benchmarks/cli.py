@@ -473,6 +473,11 @@ def cmd_helmholtz(args):
             m_inv = csl_multigrid_preconditioner(n, kh2,
                                                  layout="split")
             restart = 120
+            # mixed-precision IR on the REAL split system: f32 cycles,
+            # f64 true-residual certification. Pure-f64 cycles at 512²
+            # ran past the ~30 s device watchdog (emulated f64 is
+            # 10-20x slower) and crashed the worker.
+            inner_dtype = jnp.float32
         else:
             cdtype = (jnp.complex64 if args.precision in ("f32", "c64",
                                                           "mixed")
@@ -481,10 +486,12 @@ def cmd_helmholtz(args):
             b = op(jnp.ones((n, n), dtype=cdtype))
             m_inv = csl_multigrid_preconditioner(n, kh2)
             restart = 60
+            inner_dtype = None
         fn = jax.jit(
             lambda bb: gt.gmres(
                 op, bb, restart=restart, tol=args.tol, M=m_inv,
                 variant="mgsr", certify="true", compute_v_err=False,
+                inner_dtype=inner_dtype,
                 max_restarts=max(args.max_iterations // restart, 1),
             )
         )
