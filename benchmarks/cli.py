@@ -580,6 +580,61 @@ def cmd_eig(args):
     import math
 
     n, k = args.nsize, args.k
+    if args.method == "subspace":
+        # REAL subspace iteration (solvers/subspace_eigs.py): the
+        # complex-free TPU route for dominant nonsymmetric pairs
+        # (Krylov-Schur's complex basis cannot compile on this
+        # runtime). Estimation-grade on clustered dominant moduli —
+        # the row records true per-pair residuals.
+        from gmres_tpu.models.convection_diffusion import (
+            convection_diffusion_eigenvalues,
+        )
+
+        op = gt.convection_diffusion_operator(
+            n, args.gamma_x, args.gamma_y
+        )
+        fn = lambda: gt.subspace_eigs(  # noqa: E731
+            op, jnp.ones((n, n)), nev=k, guard=6,
+            iters=args.max_iterations, tol=args.tol,
+        )
+        import time as _time
+
+        res = fn()  # compile+warm (two jits + host eig)
+        t0 = _time.perf_counter()
+        res = fn()
+        dt = _time.perf_counter() - t0
+        got = np.asarray(res.eigenvalues)
+        exact = convection_diffusion_eigenvalues(
+            n, args.gamma_x, args.gamma_y
+        )
+        exact = exact[np.argsort(-np.abs(exact))][:k]
+
+        def keyed(v):
+            return np.sort_complex(v.real + 1j * np.abs(v.imag))
+
+        err = np.abs(keyed(got) - keyed(exact))
+        _emit([RunRecord(
+            name=f"subspace-eigs-convdiff-{n}x{n}",
+            nvars=n * n,
+            iterations=int(res.iterations),
+            tol=args.tol,
+            residual=float(np.max(np.asarray(res.residuals))),
+            l2_error=float(np.linalg.norm(err)),
+            linf_error=float(np.max(err)),
+            wall_s=dt,
+            nnz=5 * n * n - 4 * n,
+            extra={
+                "k": k,
+                "which": "LM",
+                "gamma": [args.gamma_x, args.gamma_y],
+                "eigenvalues": [[float(v.real), float(v.imag)]
+                                for v in got],
+                "note": "real subspace iteration (complex-free TPU "
+                "route); estimation-grade on clustered dominant "
+                "moduli — see solvers/subspace_eigs.py contract",
+            },
+        )], args)
+        return
     if args.method == "arnoldi":
         from gmres_tpu.models.convection_diffusion import (
             convection_diffusion_eigenvalues,

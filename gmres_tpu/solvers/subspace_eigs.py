@@ -1,0 +1,154 @@
+"""Dominant nonsymmetric eigenpairs by REAL subspace iteration — the
+TPU route for the Krylov-Schur problem class on runtimes without a
+complex datapath.
+
+`arnoldi_eigs` (solvers/arnoldi.py) is the right tool where complex
+arithmetic compiles: thick-restarted Krylov-Schur with the whole
+restarted eigensolve in ONE jit (in-jit complex Schur + reordering).
+This axon v5e runtime compiles NONE of that (measured, round 4: c128
+fails to compile, every c64 op fails at run time, the compiler
+SIGABRTs on complex while_loops). The classical fallback with the
+right structure for that constraint is ORTHOGONAL SUBSPACE ITERATION
+(Stewart's SRRIT): the heavy work — block operator applications and
+QR re-orthonormalizations — is ALL REAL and lives on the device in
+one jit; the only intrinsically complex object is the (p, p)
+projected matrix's eigendecomposition, which is a REPLICATED
+post-processing step done ONCE on the host (numpy) after the device
+loop — not a per-restart callback (axon cannot do jax.pure_callback
+at all), just ordinary result fetching between two jits.
+
+Phase structure:
+  1. device jit #1: Z ← A(Q) (vmapped block), Q ← qr(Z), iterated;
+     then H = Qᵀ A Q (one block apply + one small Gram). Fetch H
+     (p × p — tiny) to the host.
+  2. host: numpy.linalg.eig(H) → complex (λ, W); sort by the `which`
+     criterion.
+  3. device jit #2: Ritz vectors and residuals in SPLIT form — with
+     W = Wr + i·Wi passed as two real matrices, xᵣ = Wrᵀ Q,
+     xᵢ = Wiᵀ Q, and ‖A x − λ x‖ evaluated as its real/imaginary
+     parts (two real block applies + scalar combinations). No complex
+     dtype ever touches the device.
+
+Convergence: linear at |λ_{p}|/|λ_{p+1}| per iteration toward the
+dominant ("LM") invariant subspace — choose guard > 0 (extra basis
+columns beyond the k returned pairs) to sharpen the rate for the
+returned pairs, exactly LOBPCG's guard-vector practice. Accuracy
+contract, measured (tests/test_subspace_eigs.py): near-machine for
+SEPARATED dominant moduli; for CLUSTERED ones (convection-dominated
+convdiff: dominant pairs within 0.2% in modulus) the Ritz values
+plateau at ~0.5% with residuals ~2e-3 — estimation grade, because a
+linear-rate iteration cannot split what Krylov's polynomial can. For
+sharp clustered eigenpairs use `arnoldi_eigs` on a complex-capable
+backend; for interior targets shift-invert there; for SPD operators
+LOBPCG.
+
+No reference counterpart (the reference has no eigensolver at all;
+its README's never-implemented "Lanczos estimation" is C10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmres_tpu.types import EigResult, SolverStatus
+
+
+def subspace_eigs(
+    A: Callable,
+    probe: jnp.ndarray,
+    *,
+    nev: int = 4,
+    guard: int = 4,
+    iters: int = 200,
+    tol: float = 0.0,
+    which: str = "LM",
+) -> EigResult:
+    """k = nev dominant eigenpairs of a REAL operator (see module
+    docstring). probe: (n-shape) array fixing shape/dtype; the block
+    is seeded deterministically from it.
+
+    Returns EigResult with COMPLEX eigenvalues/eigenvectors assembled
+    on the HOST (numpy arrays wrapped as jnp complex128) — the device
+    only ever computes with real arrays. residuals are the true
+    per-pair ‖A x − λ x‖₂ with unit-norm x, computed on device in
+    split form.
+    """
+    if which != "LM":
+        raise ValueError(
+            "subspace iteration converges to the DOMINANT subspace; "
+            "only which='LM' is meaningful (shift-invert via "
+            "arnoldi_eigs covers interior targets on complex-capable "
+            "backends)"
+        )
+    p = nev + guard
+    shape = probe.shape
+    n = probe.size
+    rdtype = probe.dtype
+    a_block = jax.vmap(lambda v: A(v.reshape(shape)).reshape(-1))
+
+    @jax.jit
+    def device_iterate(seed_probe):
+        key = jax.random.PRNGKey(11)
+        q0 = jax.random.normal(key, (n, p), rdtype)
+        q0 = q0.at[:, 0].add(seed_probe.reshape(-1))
+        q0, _ = jnp.linalg.qr(q0, mode="reduced")
+
+        def step(_, q):
+            z = a_block(q.T).T
+            qn, _ = jnp.linalg.qr(z, mode="reduced")
+            return qn
+
+        q = jax.lax.fori_loop(0, iters, step, q0)
+        aq = a_block(q.T).T
+        h = jnp.matmul(q.T, aq, precision=jax.lax.Precision.HIGHEST)
+        return q, h
+
+    q, h = device_iterate(probe)
+    # --- host: the only complex arithmetic, on a (p, p) replicated
+    # matrix, ONCE (ordinary post-jit result fetching, not a callback).
+    h_np = np.asarray(h)
+    lam, w = np.linalg.eig(h_np)
+    order = np.argsort(-np.abs(lam))[:nev]
+    lam = lam[order]
+    w = w[:, order]
+    # normalize Ritz coefficient columns so x = Q w has unit norm
+    w = w / np.linalg.norm(w, axis=0, keepdims=True)
+    wr = jnp.asarray(np.ascontiguousarray(w.real), dtype=rdtype)
+    wi = jnp.asarray(np.ascontiguousarray(w.imag), dtype=rdtype)
+    lr = jnp.asarray(lam.real, dtype=rdtype)
+    li = jnp.asarray(lam.imag, dtype=rdtype)
+
+    @jax.jit
+    def device_residuals(q, wr, wi, lr, li):
+        xr = (q @ wr).T  # (nev, n)
+        xi = (q @ wi).T
+        axr = a_block(xr)
+        axi = a_block(xi)
+        # r = A x − λ x, split: λ = lr + i·li
+        rr = axr - (lr[:, None] * xr - li[:, None] * xi)
+        ri = axi - (lr[:, None] * xi + li[:, None] * xr)
+        res = jnp.sqrt(jnp.sum(rr * rr + ri * ri, axis=1))
+        return xr, xi, res
+
+    xr, xi, res = device_residuals(q, wr, wi, lr, li)
+    x = np.asarray(xr) + 1j * np.asarray(xi)
+    return EigResult(
+        eigenvalues=jnp.asarray(lam),
+        x=jnp.asarray(x.reshape((nev,) + shape)),
+        iterations=jnp.int32(iters),
+        residuals=res,
+        status=jnp.where(
+            ~jnp.all(jnp.isfinite(res)),
+            jnp.int32(SolverStatus.BREAKDOWN),
+            jnp.where(
+                jnp.max(res) < tol if tol > 0 else jnp.array(True),
+                jnp.int32(SolverStatus.CONVERGED),
+                jnp.int32(SolverStatus.MAX_ITERATIONS),
+            ),
+        ),
+    )

@@ -85,6 +85,8 @@ from benchmarks.cli import main
          "--max-iterations", "200"],
         ["helmholtz", "--nsize", "32", "--kh2", "0.2", "--tol", "1e-7",
          "--precond", "csl", "--precision", "split"],
+        ["eig", "--nsize", "24", "--k", "3", "--tol", "0", "--method",
+         "subspace", "--max-iterations", "200"],
     ],
 )
 def test_cli_smoke(argv, capsys):
