@@ -593,8 +593,13 @@ def cmd_eig(args):
         op = gt.convection_diffusion_operator(
             n, args.gamma_x, args.gamma_y
         )
+        # f32 iteration (--precision f32): the f64 QR is emulated and
+        # 400 iterations at 512^2 ran past the ~30 s device watchdog;
+        # the method is estimation-grade anyway, so f32 loses nothing.
+        pdtype = (jnp.float32 if args.precision in ("f32", "mixed")
+                  else jnp.float64)
         fn = lambda: gt.subspace_eigs(  # noqa: E731
-            op, jnp.ones((n, n)), nev=k, guard=6,
+            op, jnp.ones((n, n), dtype=pdtype), nev=k, guard=6,
             iters=args.max_iterations, tol=args.tol,
         )
         import time as _time
@@ -629,6 +634,7 @@ def cmd_eig(args):
                 "gamma": [args.gamma_x, args.gamma_y],
                 "eigenvalues": [[float(v.real), float(v.imag)]
                                 for v in got],
+                "precision": jnp.dtype(pdtype).name,
                 "note": "real subspace iteration (complex-free TPU "
                 "route); estimation-grade on clustered dominant "
                 "moduli — see solvers/subspace_eigs.py contract",
