@@ -137,9 +137,13 @@ def subspace_eigs(
 
     xr, xi, res = device_residuals(q, wr, wi, lr, li)
     x = np.asarray(xr) + 1j * np.asarray(xi)
+    # The complex eigenvalue/eigenvector arrays stay HOST numpy: this
+    # runtime cannot even device_put a complex array (measured:
+    # batched_device_put UNIMPLEMENTED), and nothing downstream needs
+    # them on device — they are final results.
     return EigResult(
-        eigenvalues=jnp.asarray(lam),
-        x=jnp.asarray(x.reshape((nev,) + shape)),
+        eigenvalues=lam,
+        x=x.reshape((nev,) + shape),
         iterations=jnp.int32(iters),
         residuals=res,
         status=jnp.where(
