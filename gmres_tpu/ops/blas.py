@@ -19,6 +19,53 @@ import jax
 import jax.numpy as jnp
 
 
+def _fused_reduce_dot(dtype) -> bool:
+    """True when a basis contraction should use the fused
+    multiply+reduce formulation instead of ``tensordot``.
+
+    XLA:TPU lowers an f64 ``dot`` to an emulated-multiply kernel
+    measured at ~12 GB/s — 1.5% of v5e HBM peak (5.8 ms for a
+    (51, 90000)×(90000,) GEMV, experiments/prof_refcfg.py). The SAME
+    contraction written as elementwise multiply + ``reduce`` fuses into
+    one HBM pass at ~250-500 GB/s: 24× (contract) / 47× (expand) faster
+    (experiments/prof_f64_contract.py). f32/bf16 dots ride the MXU and
+    CPU f64 dots ride BLAS, so only TPU+f64 takes the fused route —
+    same FLOPs, an XLA reduction in either case (comparable rounding)."""
+    return dtype == jnp.float64 and jax.default_backend() == "tpu"
+
+
+def row_contract(rows: jnp.ndarray, v: jnp.ndarray,
+                 conj: bool = False) -> jnp.ndarray:
+    """Basis contraction (R, *shape) × (*shape) → (R,): rowsᵢ·v.
+
+    The distributed analogue of the reference's per-row OpenMP dot
+    reductions (gmres_hh.f90:453-485): one local reduce + one psum
+    under GSPMD. Routed per `_fused_reduce_dot` (TPU f64 pathology)."""
+    r = jnp.conj(rows) if conj else rows
+    if _fused_reduce_dot(rows.dtype):
+        return jnp.sum(
+            r * v[None], axis=tuple(range(1, rows.ndim))
+        )
+    axes = list(range(1, rows.ndim))
+    return jnp.tensordot(r, v, axes=(axes, list(range(v.ndim))))
+
+
+def row_combine(coefs: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Linear combination (R, *extra) × (R, *shape) → (*extra, *shape):
+    out[e] = Σᵢ coefs[i, e]·rowsᵢ (communication-free under row
+    sharding; `tensordot(coefs, rows, axes=(0, 0))` semantics). Routed
+    like `row_contract`."""
+    if _fused_reduce_dot(rows.dtype):
+        c = coefs.astype(rows.dtype).reshape(
+            coefs.shape + (1,) * (rows.ndim - 1)
+        )
+        r = rows.reshape(
+            rows.shape[:1] + (1,) * (coefs.ndim - 1) + rows.shape[1:]
+        )
+        return jnp.sum(c * r, axis=0)
+    return jnp.tensordot(coefs, rows, axes=(0, 0))
+
+
 def tree_vdot(a: Any, b: Any) -> jnp.ndarray:
     """Scalar inner product Σ conj(aᵢ)·bᵢ over matching pytrees
     (``jnp.vdot`` semantics: conjugate-linear in the FIRST argument —

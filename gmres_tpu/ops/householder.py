@@ -32,16 +32,19 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from gmres_tpu.ops.blas import row_combine, row_contract
+
 
 def _contract(p: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """(m+1, *shape) × (*shape) → (m+1,): P v (one all-reduce)."""
-    axes = list(range(1, p.ndim))
-    return jnp.tensordot(p, v, axes=(axes, list(range(v.ndim))))
+    """(m+1, *shape) × (*shape) → (m+1,): P v (one all-reduce).
+    TPU f64 takes the fused multiply+reduce route (ops/blas.py
+    `row_contract`) — the tensordot lowering runs at 1.5% of HBM peak."""
+    return row_contract(p, v)
 
 
 def _expand(t: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """(m+1,) × (m+1, *shape) → (*shape): Pᵀ t (local)."""
-    return jnp.tensordot(t, p, axes=(0, 0))
+    return row_combine(t, p)
 
 
 def wy_apply(p: jnp.ndarray, t: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -54,6 +57,26 @@ def wy_apply_transpose(
 ) -> jnp.ndarray:
     """Qᵀ v = v − Pᵀ(Tᵀ(P v))."""
     return v - _expand(t.T @ _contract(p, v), p)
+
+
+def wy_basis_vector(p: jnp.ndarray, t: jnp.ndarray, idx) -> jnp.ndarray:
+    """Q e_idx — the Arnoldi basis vector at flat index idx.
+
+    Formulated as the one-hot application Q e = e − Pᵀ(T (P e)): the
+    contraction P e is mathematically just column idx of P, but
+    READING that column directly is a TPU anti-pattern — both
+    flatten-then-slice (forces a full tiled-layout relayout of the
+    basis: +2.6 ms/iter at 2048² f32) and N-D `dynamic_slice` with
+    runtime starts (+21 ms/iter at 2048²) measured far slower than the
+    masked contraction, which streams P once at full bandwidth
+    (`row_contract` routes TPU f64 around the slow dot lowering). The
+    reference reads the same column implicitly through its reflector
+    sweep (gmres_hh.f90:453-467)."""
+    from gmres_tpu.ops.flat import flat_iota
+
+    idx = jnp.asarray(idx)
+    e = (flat_iota(p[0]) == idx).astype(p.dtype)
+    return e - _expand(t @ _contract(p, e), p)
 
 
 def wy_append(

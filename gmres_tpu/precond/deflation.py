@@ -46,6 +46,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from gmres_tpu.ops.blas import row_combine, row_contract
+
 from gmres_tpu.types import LinearOperator, Preconditioner
 
 
@@ -83,11 +85,10 @@ def coarse_space_preconditioner(
     chol = jax.scipy.linalg.cho_factor(g)
 
     def bdot(block, v):
-        vaxes = tuple(range(v.ndim))
-        return jnp.tensordot(block, v, axes=(baxes, vaxes))
+        return row_contract(block, v)
 
     def comb(coefs, block):
-        return jnp.tensordot(coefs, block, axes=(0, 0))
+        return row_combine(coefs, block)
 
     def solve_g(rhs):
         return jax.scipy.linalg.cho_solve(chol, rhs)

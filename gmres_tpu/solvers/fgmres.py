@@ -37,7 +37,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.blas import tree_vdot
+from gmres_tpu.ops.blas import row_combine, tree_vdot
 from gmres_tpu.ops.givens import givens_init, givens_step
 from gmres_tpu.ops.tri import masked_back_substitution
 from gmres_tpu.solvers.gmres import (
@@ -210,9 +210,7 @@ def fgmres(
         )
         y = masked_back_substitution(hmat, giv.g, n_out)
         # x += Z y (β-normalized cast, f64 rescale — scale invariance).
-        dx = jnp.tensordot(
-            (y / bsafe).astype(work_dtype), z_basis, axes=(0, 0)
-        )
+        dx = row_combine((y / bsafe).astype(work_dtype), z_basis)
         x = x + bsafe * dx.astype(dtype)
         return x, n_out, ferr, h_val, v_basis
 

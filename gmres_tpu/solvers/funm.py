@@ -38,7 +38,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.blas import tree_vdot
+from gmres_tpu.ops.blas import row_combine, tree_vdot
 from gmres_tpu.solvers.lanczos import arnoldi_factorization
 from gmres_tpu.types import LinearOperator
 
@@ -97,7 +97,7 @@ def funm_lanczos(
     """
     basis, theta, q, beta0, beta_m, asym = _funm_core(A, b, steps)
     w = q @ (f(theta) * q[0, :])        # f(H) e1
-    y = beta0 * jnp.tensordot(w, basis[:steps], axes=(0, 0))
+    y = beta0 * row_combine(w, basis[:steps])
     err = beta0 * jnp.abs(beta_m) * jnp.abs(w[steps - 1])
     return FunmResult(y=y, error_estimate=err, asymmetry=asym)
 
@@ -125,7 +125,7 @@ def expm_multiply(
     w = jnp.einsum(
         "ij,tj,j->ti", q, jnp.exp(-t_arr[:, None] * theta), q[0, :]
     )
-    y = beta0 * jnp.tensordot(w, basis[:steps], axes=(1, 0))
+    y = beta0 * row_combine(w.T, basis[:steps])
     err = beta0 * jnp.abs(beta_m) * jnp.abs(w[:, steps - 1])
     if jnp.ndim(t) == 0:
         y, err = y[0], err[0]

@@ -49,6 +49,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+from gmres_tpu.ops.blas import row_combine, row_contract
 from gmres_tpu.ops.givens import givens_init, givens_step
 from gmres_tpu.ops.hessenberg_eig import (
     eig_select,
@@ -169,19 +170,19 @@ def gcrodr(
     dtype = b.dtype
     eps = float(jnp.finfo(dtype).eps)
     shape = b.shape
-    vaxes = tuple(range(b.ndim))
     baxes = tuple(range(1, b.ndim + 1))
 
     def bdot(block, v):
-        """(s,) block inner products — ONE fused all-reduce."""
-        return jnp.tensordot(block, v, axes=(baxes, vaxes))
+        """(s,) block inner products — ONE fused all-reduce
+        (row_contract: TPU-f64-safe routing, ops/blas.py)."""
+        return row_contract(block, v)
 
     def bmatdot(block_a, block_b):
         """(s, t) cross-Gram of two long blocks."""
         return jnp.tensordot(block_a, block_b, axes=(baxes, baxes))
 
     def comb(coefs, block):
-        return jnp.tensordot(coefs, block, axes=(0, 0))
+        return row_combine(coefs, block)
 
     def vnorm(v):
         return jnp.sqrt(jnp.sum(v * v))
@@ -215,7 +216,7 @@ def gcrodr(
         # solve_small: jnp.linalg.inv lowers to LuDecomposition, which
         # the TPU implements only for F32/C64.
         t = solve_small(rmat, jnp.eye(rmat.shape[0], dtype=rmat.dtype))
-        u_new = jnp.tensordot(t, u_block, axes=(0, 0))
+        u_new = row_combine(t, u_block)
         good = jnp.all(jnp.isfinite(u_new)) & jnp.all(jnp.isfinite(c))
         return (
             jnp.where(good, u_new, jnp.zeros_like(u_new)),
@@ -309,13 +310,11 @@ def gcrodr(
         pencil = solve_small(m2, m1)  # TPU: no f64 LuDecomposition
         z, okc = _deflation_coefs(pencil, k)  # (km, k)
         z = z.astype(dtype)
-        u_new = jnp.tensordot(
-            z, jnp.concatenate([u_blk, basis[:m]], axis=0),
-            axes=(0, 0),
+        u_new = row_combine(
+            z, jnp.concatenate([u_blk, basis[:m]], axis=0)
         )
-        au_new = jnp.tensordot(
-            gmat @ z, jnp.concatenate([c_blk, basis], axis=0),
-            axes=(0, 0),
+        au_new = row_combine(
+            gmat @ z, jnp.concatenate([c_blk, basis], axis=0)
         )
         u_new, c_new = renormalize(u_new, au_new)
         good = (
@@ -339,8 +338,8 @@ def gcrodr(
         cmat = hm.at[:, m - 1].add(hraw[m, m - 1] ** 2 * f)
         z, okc = _deflation_coefs(cmat, k)  # (m, k)
         z = z.astype(dtype)
-        u_new = jnp.tensordot(z, basis[:m], axes=(0, 0))
-        au_new = jnp.tensordot(hraw @ z, basis, axes=(0, 0))
+        u_new = row_combine(z, basis[:m])
+        au_new = row_combine(hraw @ z, basis)
         u_blk, c_blk = renormalize(u_new, au_new)
         u_blk = jnp.where(okc, u_blk, jnp.zeros_like(u_blk))
         c_blk = jnp.where(okc, c_blk, jnp.zeros_like(c_blk))

@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from gmres_tpu.ops import householder as wy
-from gmres_tpu.ops.blas import tree_vdot
+from gmres_tpu.ops.blas import row_combine, row_contract, tree_vdot
 from gmres_tpu.ops.flat import flat_get, flat_iota, mask_ge
 from gmres_tpu.ops.givens import GivensState, givens_init, givens_step
 from gmres_tpu.ops.tri import masked_back_substitution
@@ -93,12 +93,11 @@ def _fortran_sign(a, b):
 def _cgs_pass(v_basis: jnp.ndarray, w: jnp.ndarray):
     """Classical Gram-Schmidt pass: h = V̄·w (one all-reduce), then
     w ← w − Vᵀh. Zero basis rows self-mask. The conjugate makes the
-    same pass serve complex operators (elided for real dtypes)."""
-    axes = list(range(1, v_basis.ndim))
-    h = jnp.tensordot(
-        jnp.conj(v_basis), w, axes=(axes, list(range(w.ndim)))
-    )
-    w = w - jnp.tensordot(h, v_basis, axes=(0, 0))
+    same pass serve complex operators (elided for real dtypes).
+    row_contract/row_combine route TPU f64 around the slow dot
+    lowering (ops/blas.py)."""
+    h = row_contract(v_basis, w, conj=True)
+    w = w - row_combine(h, v_basis)
     return h, w
 
 
@@ -418,9 +417,7 @@ def _gmres_mgsr(
         # (gmres_mgsr.f90:400-406). y is β-scaled — normalize before
         # the work-dtype cast, rescale in f64 (scale invariance).
         bsafe = jnp.where(beta > 0, beta, jnp.ones_like(beta))
-        dx = jnp.tensordot(
-            (y / bsafe).astype(work_dtype), v_basis[:m], axes=(0, 0)
-        )
+        dx = row_combine((y / bsafe).astype(work_dtype), v_basis[:m])
         x = x + bsafe * dx.astype(dtype)
         return x, n_out, ferr, h_val, v_basis
 
@@ -478,10 +475,10 @@ def _gmres_householder(
         def inner_body(st):
             (t, p_basis, t_mat, hmat, giv, h_val_prev, n_out, ferr), _ = st
             # v_t = Q e_t (reference reflector sweep gmres_hh.f90:453-467
-            # → compact-WY: two matmuls + one all-reduce).
+            # → compact-WY: P e_t is column t of P, so this is ONE
+            # expand pass, no contraction).
             with jax.named_scope("gmres.basis_vector"):
-                e_t = (fidx == t).astype(work_dtype)
-                v_t = wy.wy_apply(p_basis, t_mat, e_t)
+                v_t = wy.wy_basis_vector(p_basis, t_mat, t)
             with jax.named_scope("gmres.spmv"):
                 z = A(v_t)
                 w = M(z) if M is not None else z

@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from gmres_tpu.ops.tri import solve_small
-from gmres_tpu.ops.blas import tree_vdot
+from gmres_tpu.ops.blas import row_combine, tree_vdot
 from gmres_tpu.ops.givens import GivensState, givens_step
 from gmres_tpu.ops.hessenberg_eig import (
     eig_select,
@@ -218,7 +218,7 @@ def gmres_dr(
         n_out = t
         y = masked_back_substitution(hmat, giv.g, n_out)
         with jax.named_scope("gmres_dr.update"):
-            combo = jnp.tensordot(y, v_basis[:m], axes=(0, 0))
+            combo = row_combine(y, v_basis[:m])
             dx = apply_m(combo)
         # LS residual in V_{m+1} coordinates (drives the next cycle).
         c_resid = c_ext - hraw @ y
@@ -311,7 +311,7 @@ def gmres_dr(
         tmat = jnp.where(valid, tmat, tmat_fb)
         hlead = jnp.where(valid, hlead, jnp.zeros_like(hlead))
         c_ext = jnp.where(valid, c_ext, c_ext_fb)
-        v_init = jnp.tensordot(tmat, v_basis, axes=(1, 0))
+        v_init = row_combine(tmat.T, v_basis)
         return v_init, hlead, c_ext, keff
 
     def true_residual(x):

@@ -20,7 +20,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.blas import tree_vdot
+from gmres_tpu.ops.blas import row_combine, row_contract, tree_vdot
 from gmres_tpu.types import LinearOperator
 
 
@@ -138,8 +138,6 @@ def arnoldi_expand(
     written."""
     steps = hmat.shape[1]
     dtype = basis.dtype
-    axes = tuple(range(1, basis.ndim))
-    vdim = basis.ndim - 1
 
     def body(j, carry):
         basis, hmat = carry
@@ -149,10 +147,10 @@ def arnoldi_expand(
 
         def cgs_pass(w):
             # conj for complex bases (identity for real): h = ⟨vᵢ, w⟩
-            h = jnp.tensordot(
-                jnp.conj(basis), w, axes=(axes, tuple(range(vdim)))
-            ) * mask
-            return h, w - jnp.tensordot(h, basis, axes=(0, 0))
+            # (row_contract/row_combine: TPU-f64-safe routing,
+            # ops/blas.py)
+            h = row_contract(basis, w, conj=True) * mask
+            return h, w - row_combine(h, basis)
 
         h1, w = cgs_pass(w)
         h2, w = cgs_pass(w)

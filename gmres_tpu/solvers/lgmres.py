@@ -42,7 +42,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.blas import tree_vdot
+from gmres_tpu.ops.blas import row_combine, tree_vdot
 from gmres_tpu.ops.givens import givens_init, givens_step
 from gmres_tpu.ops.tri import masked_back_substitution
 from gmres_tpu.solvers.gmres import _as_operator, _cgs_pass, _v_err_mgsr
@@ -226,9 +226,7 @@ def lgmres(
         )
         y = masked_back_substitution(hmat, giv.g, n_out)
         # Δx = Z y (β-normalized cast, f64 rescale — scale invariance).
-        dx = jnp.tensordot(
-            (y / bsafe).astype(work_dtype), z_basis, axes=(0, 0)
-        )
+        dx = row_combine((y / bsafe).astype(work_dtype), z_basis)
         return bsafe * dx.astype(dtype), n_out, ferr, hb, v_basis
 
     # ------------------------------------------------------------------

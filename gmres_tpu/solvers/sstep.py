@@ -41,7 +41,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from gmres_tpu.ops.blas import tree_vdot
+from gmres_tpu.ops.blas import row_combine, tree_vdot
 from gmres_tpu.types import (
     GmresResult,
     LinearOperator,
@@ -138,9 +138,9 @@ def sstep_gmres(
         y = jnp.where(y_ok, y, jnp.zeros_like(y))
 
         # x ← x + β · Z₀ y (local matvec over the block).
-        dx = jnp.tensordot(
-            y.astype(work_dtype), z_full[:s], axes=(0, 0)
-        ).reshape(shape)
+        dx = row_combine(y.astype(work_dtype), z_full[:s]).reshape(
+            shape
+        )
         x = x + (beta * dx.astype(dtype))
         # cycle residual estimate (exact in exact arithmetic):
         # ‖w − βZ₁y‖² = β²(1 − 2yᵀc + yᵀGy) — no extra reduction.
