@@ -576,7 +576,12 @@ def cmd_eig(args):
     MG-preconditioned LOBPCG vs the closed-form Dirichlet spectrum.
     --method arnoldi: k largest-modulus pairs of the NONSYMMETRIC
     convection-diffusion operator by Krylov-Schur, vs the closed-form
-    complex tensor spectrum (convection-dominated for γx > 1)."""
+    complex tensor spectrum (convection-dominated for γx > 1).
+    --method ks_real: the same pairs by REAL-Schur Krylov-Schur
+    (complex-free device path — the TPU route for sharp clustered
+    spectra; solvers/krylov_schur_real.py).
+    --method subspace: real subspace iteration (estimation-grade on
+    clustered moduli; fastest on separated dominant pairs)."""
     import math
 
     n, k = args.nsize, args.k
@@ -638,6 +643,69 @@ def cmd_eig(args):
                 "note": "real subspace iteration (complex-free TPU "
                 "route); estimation-grade on clustered dominant "
                 "moduli — see solvers/subspace_eigs.py contract",
+            },
+        )], args)
+        return
+    if args.method == "ks_real":
+        # Krylov-Schur on a REAL Schur basis (solvers/
+        # krylov_schur_real.py): the sharp complex-free TPU route —
+        # device Arnoldi expansion + host (m, m) real Schur between
+        # dispatches. Resolves the clustered convection-dominated
+        # spectra where subspace iteration is estimation-grade.
+        from gmres_tpu.models.convection_diffusion import (
+            convection_diffusion_eigenvalues,
+        )
+
+        op = gt.convection_diffusion_operator(
+            n, args.gamma_x, args.gamma_y
+        )
+        pdtype = (jnp.float32 if args.precision in ("f32", "mixed")
+                  else jnp.float64)
+        probe = jax.random.normal(
+            jax.random.PRNGKey(0), (n, n), dtype=pdtype
+        )
+        fn = lambda: gt.arnoldi_eigs_real(  # noqa: E731
+            op, probe, nev=k, steps=args.steps, which="LM",
+            tol=args.tol, max_restarts=args.max_iterations,
+        )
+        import time as _time
+
+        res = fn()  # compile+warm (host-driven restart loop)
+        t0 = _time.perf_counter()
+        res = fn()
+        dt = _time.perf_counter() - t0
+        got = np.asarray(res.eigenvalues)
+        exact = convection_diffusion_eigenvalues(
+            n, args.gamma_x, args.gamma_y
+        )
+        exact = exact[np.argsort(-np.abs(exact))][:k]
+
+        def keyed(v):
+            return np.sort_complex(v.real + 1j * np.abs(v.imag))
+
+        err = np.abs(keyed(got) - keyed(exact))
+        _emit([RunRecord(
+            name=f"ksreal-convdiff-{n}x{n}",
+            nvars=n * n,
+            iterations=int(res.iterations),
+            tol=args.tol,
+            residual=float(np.max(np.asarray(res.residuals))),
+            l2_error=float(np.linalg.norm(err)),
+            linf_error=float(np.max(err)),
+            wall_s=dt,
+            nnz=5 * n * n - 4 * n,
+            extra={
+                "k": k,
+                "which": "LM",
+                "steps": args.steps,
+                "gamma": [args.gamma_x, args.gamma_y],
+                "eigenvalues": [[float(v.real), float(v.imag)]
+                                for v in got],
+                "precision": jnp.dtype(pdtype).name,
+                "converged": bool(res.converged),
+                "note": "real-Schur Krylov-Schur (complex-free TPU "
+                "route): 2 device dispatches + one host (m,m) Schur "
+                "per restart cycle",
             },
         )], args)
         return

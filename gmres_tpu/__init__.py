@@ -116,6 +116,7 @@ from gmres_tpu.models.varcoef import (
     varcoef_operator,
 )
 from gmres_tpu.solvers.arnoldi import arnoldi_eigs
+from gmres_tpu.solvers.krylov_schur_real import arnoldi_eigs_real
 from gmres_tpu.solvers.subspace_eigs import subspace_eigs
 from gmres_tpu.solvers.implicit import implicit_solve
 from gmres_tpu.solvers.gcrodr import gcrodr
@@ -204,6 +205,7 @@ __all__ = [
     "varcoef_matrix",
     "varcoef_multigrid_preconditioner",
     "arnoldi_eigs",
+    "arnoldi_eigs_real",
     "subspace_eigs",
     "implicit_solve",
     "gcrodr",
