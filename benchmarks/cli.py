@@ -488,16 +488,41 @@ def cmd_helmholtz(args):
             restart = 60
             inner_dtype = None
         fn = jax.jit(
-            lambda bb: gt.gmres(
-                op, bb, restart=restart, tol=args.tol, M=m_inv,
+            lambda bb, x0: gt.gmres(
+                op, bb, x0=x0, restart=restart, tol=args.tol, M=m_inv,
                 variant="mgsr", certify="true", compute_v_err=False,
                 inner_dtype=inner_dtype,
                 max_restarts=max(args.max_iterations // restart, 1),
             )
         )
-        res, dt = _timed(fn, b)
-        total_inner = (max(int(res.restarts) - 1, 0) * restart
-                       + int(res.iterations))
+        # --chunks > 1: multi-dispatch continuation. One dispatch is
+        # capped by the device watchdog (~30 s, CLAUDE.md rule 4), so
+        # a high-wavenumber CSL solve that needs more than
+        # max_iterations rides SEQUENTIAL warm-started dispatches
+        # (x0 = previous solution — restarted GMRES is restart-
+        # boundary-exact under warm starting). The row records total
+        # wall time, total iterations, and the dispatch count.
+        x0 = jnp.zeros_like(b)
+        total_inner = 0
+        total_restarts = 0
+        dt = 0.0
+        chunks_used = 0
+        for _chunk in range(max(args.chunks, 1)):
+            if _chunk == 0:
+                # compile+warm once, then time (reference discipline)
+                res, dt_c = _timed(fn, b, x0)
+            else:
+                t0 = time.perf_counter()
+                res = _sync(fn(b, x0))
+                dt_c = time.perf_counter() - t0
+            dt += dt_c
+            chunks_used += 1
+            total_inner += (max(int(res.restarts) - 1, 0) * restart
+                            + int(res.iterations))
+            total_restarts += int(res.restarts)
+            x0 = res.x
+            if int(res.status) == 0:
+                break
         _emit(
             [
                 record_from_result(
@@ -506,7 +531,9 @@ def cmd_helmholtz(args):
                             if args.precision == "split"
                             else jnp.ones((n, n), dtype=cdtype)),
                     wall_s=dt, tol=args.tol, nnz=5 * n * n - 4 * n,
-                    extra={"matvecs": total_inner + int(res.restarts),
+                    extra={"matvecs": total_inner + total_restarts,
+                           "total_inner": total_inner,
+                           "dispatch_chunks": chunks_used,
                            "kh2": kh2, "damping": args.damping,
                            "precond": "csl",
                            "precision": (
@@ -1702,7 +1729,7 @@ def build_parser() -> argparse.ArgumentParser:
         max_newton=30, precond="mg", precision="f64", inner="gmres")
     add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
         tol=1e-9, max_iterations=50_000, precond="mg", solver="minres",
-        precision="f64", smooth_order=3, damping=0.0)
+        precision="f64", smooth_order=3, damping=0.0, chunks=1)
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

@@ -87,6 +87,12 @@ from benchmarks.cli import main
          "--precond", "csl", "--precision", "split"],
         ["eig", "--nsize", "24", "--k", "3", "--tol", "0", "--method",
          "subspace", "--max-iterations", "200"],
+        ["eig", "--nsize", "16", "--k", "4", "--tol", "1e-8",
+         "--method", "ks_real", "--steps", "20",
+         "--max-iterations", "200"],
+        ["helmholtz", "--nsize", "32", "--kh2", "0.2", "--tol", "1e-7",
+         "--precond", "csl", "--precision", "split", "--chunks", "2",
+         "--max-iterations", "240"],
     ],
 )
 def test_cli_smoke(argv, capsys):

@@ -246,3 +246,80 @@ class TestSolveSmall:
         np.testing.assert_allclose(
             np.asarray(x), np.linalg.solve(np.asarray(a),
                                            np.asarray(b)), atol=1e-11)
+
+
+class TestRowContractCombine:
+    """ops/blas.py row_contract/row_combine: the TPU-f64 contraction
+    routing (docs/DESIGN.md §1b). On CPU both routes must equal the
+    tensordot oracle; the fused branch is forced to verify it computes
+    the same contraction."""
+
+    def _data(self, dtype, extra=()):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        rows = jnp.asarray(
+            rng.standard_normal((6, 4, 5)), dtype=dtype
+        )
+        v = jnp.asarray(rng.standard_normal((4, 5)), dtype=dtype)
+        coefs = jnp.asarray(
+            rng.standard_normal((6,) + extra), dtype=dtype
+        )
+        return rows, v, coefs
+
+    def test_matches_tensordot_f64(self):
+        import numpy as np
+
+        from gmres_tpu.ops.blas import row_combine, row_contract
+
+        rows, v, coefs = self._data(jnp.float64)
+        np.testing.assert_allclose(
+            np.asarray(row_contract(rows, v)),
+            np.tensordot(np.asarray(rows), np.asarray(v), 2),
+            rtol=1e-14,
+        )
+        np.testing.assert_allclose(
+            np.asarray(row_combine(coefs, rows)),
+            np.tensordot(np.asarray(coefs), np.asarray(rows),
+                         axes=(0, 0)),
+            rtol=1e-14,
+        )
+
+    def test_fused_branch_matches(self, monkeypatch):
+        import numpy as np
+
+        from gmres_tpu.ops import blas
+
+        monkeypatch.setattr(blas, "_fused_reduce_dot",
+                            lambda dtype: True)
+        rows, v, coefs2 = self._data(jnp.float64, extra=(3,))
+        np.testing.assert_allclose(
+            np.asarray(blas.row_contract(rows, v)),
+            np.tensordot(np.asarray(rows), np.asarray(v), 2),
+            rtol=1e-12,
+        )
+        # 2-D coefficients: (R, k) x (R, *shape) -> (k, *shape)
+        np.testing.assert_allclose(
+            np.asarray(blas.row_combine(coefs2, rows)),
+            np.tensordot(np.asarray(coefs2), np.asarray(rows),
+                         axes=(0, 0)),
+            rtol=1e-12,
+        )
+
+    def test_conj_for_complex(self):
+        import numpy as np
+
+        from gmres_tpu.ops.blas import row_contract
+
+        rng = np.random.default_rng(7)
+        rows = jnp.asarray(
+            rng.standard_normal((3, 8)) + 1j * rng.standard_normal((3, 8))
+        )
+        v = jnp.asarray(
+            rng.standard_normal(8) + 1j * rng.standard_normal(8)
+        )
+        np.testing.assert_allclose(
+            np.asarray(row_contract(rows, v, conj=True)),
+            np.conj(np.asarray(rows)) @ np.asarray(v),
+            rtol=1e-13,
+        )
