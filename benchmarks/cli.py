@@ -472,7 +472,7 @@ def cmd_helmholtz(args):
             b = op(x_star_split)
             m_inv = csl_multigrid_preconditioner(n, kh2,
                                                  layout="split")
-            restart = 120
+            restart = args.restart if args.restart > 0 else 120
             # mixed-precision IR on the REAL split system: f32 cycles,
             # f64 true-residual certification. Pure-f64 cycles at 512²
             # ran past the ~30 s device watchdog (emulated f64 is
@@ -485,7 +485,7 @@ def cmd_helmholtz(args):
             op = helmholtz_operator(n, kh2, args.damping)
             b = op(jnp.ones((n, n), dtype=cdtype))
             m_inv = csl_multigrid_preconditioner(n, kh2)
-            restart = 60
+            restart = args.restart if args.restart > 0 else 60
             inner_dtype = None
         fn = jax.jit(
             lambda bb, x0: gt.gmres(
@@ -1729,7 +1729,8 @@ def build_parser() -> argparse.ArgumentParser:
         max_newton=30, precond="mg", precision="f64", inner="gmres")
     add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
         tol=1e-9, max_iterations=50_000, precond="mg", solver="minres",
-        precision="f64", smooth_order=3, damping=0.0, chunks=1)
+        precision="f64", smooth_order=3, damping=0.0, chunks=1,
+        restart=0)
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)
