@@ -487,14 +487,38 @@ def cmd_helmholtz(args):
             m_inv = csl_multigrid_preconditioner(n, kh2)
             restart = args.restart if args.restart > 0 else 60
             inner_dtype = None
-        fn = jax.jit(
-            lambda bb, x0: gt.gmres(
-                op, bb, x0=x0, restart=restart, tol=args.tol, M=m_inv,
-                variant="mgsr", certify="true", compute_v_err=False,
-                inner_dtype=inner_dtype,
-                max_restarts=max(args.max_iterations // restart, 1),
+        use_gcrodr = args.solver == "gcrodr"
+        if use_gcrodr:
+            # Recycling on the (real) CSL system: GCRO-DR's
+            # harmonic-Ritz deflation is the library's documented
+            # stagnation remedy (artifacts/sequence_tpu.jsonl) and the
+            # split formulation is real, so it applies directly. The
+            # recycle block U carries ACROSS dispatch chunks (same
+            # carry the sequence arm uses between frequencies), so
+            # continuation keeps the deflation space instead of
+            # re-bootstrapping it. Note gcrodr has no inner_dtype —
+            # cycles run at b's dtype; budget --max-iterations per
+            # chunk for the f64 watchdog accordingly.
+            k_rec = max(args.deflate, 1)
+            fn = jax.jit(
+                lambda bb, x0, U: gt.gcrodr(
+                    op, bb, x0=x0, recycle=U, k=k_rec,
+                    restart=restart, tol=args.tol, M=m_inv,
+                    max_restarts=max(args.max_iterations // restart,
+                                     1),
+                )
             )
-        )
+            recycle = jnp.zeros((k_rec,) + b.shape, b.dtype)
+        else:
+            fn = jax.jit(
+                lambda bb, x0: gt.gmres(
+                    op, bb, x0=x0, restart=restart, tol=args.tol,
+                    M=m_inv, variant="mgsr", certify="true",
+                    compute_v_err=False, inner_dtype=inner_dtype,
+                    max_restarts=max(args.max_iterations // restart,
+                                     1),
+                )
+            )
         # --chunks > 1: multi-dispatch continuation. One dispatch is
         # capped by the device watchdog (~30 s, CLAUDE.md rule 4), so
         # a high-wavenumber CSL solve that needs more than
@@ -508,12 +532,14 @@ def cmd_helmholtz(args):
         dt = 0.0
         chunks_used = 0
         for _chunk in range(max(args.chunks, 1)):
+            call_args = ((b, x0, recycle) if use_gcrodr
+                         else (b, x0))
             if _chunk == 0:
                 # compile+warm once, then time (reference discipline)
-                res, dt_c = _timed(fn, b, x0)
+                res, dt_c = _timed(fn, *call_args)
             else:
                 t0 = time.perf_counter()
-                res = _sync(fn(b, x0))
+                res = _sync(fn(*call_args))
                 dt_c = time.perf_counter() - t0
             dt += dt_c
             chunks_used += 1
@@ -521,12 +547,15 @@ def cmd_helmholtz(args):
                             + int(res.iterations))
             total_restarts += int(res.restarts)
             x0 = res.x
+            if use_gcrodr:
+                recycle = res.recycle
             if int(res.status) == 0:
                 break
+        solver_name = "gcrodr" if use_gcrodr else "gmres"
         _emit(
             [
                 record_from_result(
-                    f"gmres-csl-helmholtz-{n}x{n}", res,
+                    f"{solver_name}-csl-helmholtz-{n}x{n}", res,
                     x_true=(x_star_split
                             if args.precision == "split"
                             else jnp.ones((n, n), dtype=cdtype)),
@@ -536,6 +565,8 @@ def cmd_helmholtz(args):
                            "dispatch_chunks": chunks_used,
                            "kh2": kh2, "damping": args.damping,
                            "precond": "csl",
+                           **({"deflate_k": k_rec}
+                              if use_gcrodr else {}),
                            "precision": (
                                "split-f64" if args.precision == "split"
                                else jnp.dtype(cdtype).name)},
@@ -1730,7 +1761,7 @@ def build_parser() -> argparse.ArgumentParser:
     add("helmholtz", cmd_helmholtz, nsize=256, kh2=0.0, kh2_factor=10.0,
         tol=1e-9, max_iterations=50_000, precond="mg", solver="minres",
         precision="f64", smooth_order=3, damping=0.0, chunks=1,
-        restart=0)
+        restart=0, deflate=20)
     add("strong-scaling", cmd_strong_scaling, nsize=304, restart=50,
         tol=1e-15, max_restarts=1000, max_devices=0,
         explicit_halo=False)

@@ -93,6 +93,10 @@ from benchmarks.cli import main
         ["helmholtz", "--nsize", "32", "--kh2", "0.2", "--tol", "1e-7",
          "--precond", "csl", "--precision", "split", "--chunks", "2",
          "--max-iterations", "240"],
+        ["helmholtz", "--nsize", "32", "--kh2", "0.2", "--tol", "1e-7",
+         "--precond", "csl", "--precision", "split", "--solver",
+         "gcrodr", "--deflate", "5", "--restart", "20", "--chunks",
+         "2", "--max-iterations", "200"],
     ],
 )
 def test_cli_smoke(argv, capsys):
