@@ -496,14 +496,16 @@ def cmd_helmholtz(args):
             # recycle block U carries ACROSS dispatch chunks (same
             # carry the sequence arm uses between frequencies), so
             # continuation keeps the deflation space instead of
-            # re-bootstrapping it. Note gcrodr has no inner_dtype —
-            # cycles run at b's dtype; budget --max-iterations per
-            # chunk for the f64 watchdog accordingly.
+            # re-bootstrapping it. inner_dtype rides the same mixed-IR
+            # contract as the gmres arm (f32 cycles on the split
+            # system, f64 true-residual certification at each cycle
+            # boundary).
             k_rec = max(args.deflate, 1)
             fn = jax.jit(
                 lambda bb, x0, U: gt.gcrodr(
                     op, bb, x0=x0, recycle=U, k=k_rec,
                     restart=restart, tol=args.tol, M=m_inv,
+                    inner_dtype=inner_dtype,
                     max_restarts=max(args.max_iterations // restart,
                                      1),
                 )

@@ -124,6 +124,7 @@ def gcrodr(
     recycle: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     deflation: str = "auto",
+    inner_dtype=None,
 ) -> RecycledResult:
     """Solve A x = b with GCRO-DR(restart, k).
 
@@ -157,6 +158,17 @@ def gcrodr(
         (default) = "subspace" on TPU backends, "eig" elsewhere.
         Deflation QUALITY differs only by the extraction accuracy;
         every exit is still certified on the true residual.
+      inner_dtype: dtype for the cycle work (basis, recycle pair,
+        small matrices) — same iterative-refinement contract as
+        ``gmres(inner_dtype=...)``: None (default) = b's dtype,
+        reference-faithful recursive residual; jnp.float32 with f64 b
+        runs every cycle at TPU-native f32 speed while x and the
+        residual stay f64 — each cycle boundary RECOMPUTES the true
+        preconditioned residual in f64 (one extra op application per
+        m-step cycle) and convergence is decided on it, never on the
+        f32 Givens estimate (which floors near 1e-7). The returned
+        ``recycle`` block is cast back to b's dtype so sequence
+        carries are precision-agnostic.
     """
     if jnp.issubdtype(b.dtype, jnp.complexfloating):
         raise ValueError("gcrodr supports real dtypes only")
@@ -168,7 +180,12 @@ def gcrodr(
         )
     op: LinearOperator = (lambda v: M(A(v))) if M is not None else A
     dtype = b.dtype
-    eps = float(jnp.finfo(dtype).eps)
+    wdtype = (jnp.dtype(inner_dtype) if inner_dtype is not None
+              else dtype)
+    mixed = wdtype != dtype
+    # eps thresholds guard the WORK-precision small matrices
+    # (deflation pencil conditioning, block renormalization).
+    eps = float(jnp.finfo(wdtype).eps)
     shape = b.shape
     baxes = tuple(range(1, b.ndim + 1))
 
@@ -206,7 +223,7 @@ def gcrodr(
         if deflation == "subspace":
             return smallest_invariant_subspace(mat, nvec)
         vals, vecs, okc = eig_select(mat, nvec, which="smallest")
-        return _realify(vals, vecs, nvec, eps).astype(dtype), okc
+        return _realify(vals, vecs, nvec, eps).astype(wdtype), okc
 
     def renormalize(u_block, au_block):
         """(U, op·U) → (U', C) with op·U' = C orthonormal."""
@@ -227,15 +244,16 @@ def gcrodr(
     # Deflated Arnoldi cycle over (I − C·Cᵀ)·op with coupling B.
     # ------------------------------------------------------------------
     def arnoldi_cycle(r, u_blk, c_blk):
+        r = r.astype(wdtype)
         beta = vnorm(r)
         bsafe = jnp.where(beta > 0, beta, 1.0)
-        basis = jnp.zeros((m + 1,) + shape, dtype)
+        basis = jnp.zeros((m + 1,) + shape, wdtype)
         basis = basis.at[0].set(r / bsafe)
-        hraw = jnp.zeros((m + 1, m), dtype)
-        hrot = jnp.zeros((m + 1, m), dtype)
-        bmat = jnp.zeros((k, m), dtype)
-        g0 = jnp.zeros((m + 1,), dtype).at[0].set(beta)
-        giv = givens_init(m, g0, beta0=beta0s)
+        hraw = jnp.zeros((m + 1, m), wdtype)
+        hrot = jnp.zeros((m + 1, m), wdtype)
+        bmat = jnp.zeros((k, m), wdtype)
+        g0 = jnp.zeros((m + 1,), wdtype).at[0].set(beta)
+        giv = givens_init(m, g0, beta0=beta0s.astype(wdtype))
 
         def cond(st):
             (t, *_), rel = st
@@ -248,7 +266,7 @@ def gcrodr(
             w = op(v_t)
             bcol = bdot(c_blk, w)
             w = w - comb(bcol, c_blk)
-            mask = (jnp.arange(m + 1) <= t).astype(dtype)
+            mask = (jnp.arange(m + 1) <= t).astype(wdtype)
 
             def cgs_pass(w):
                 h = bdot(basis, w) * mask
@@ -276,11 +294,11 @@ def gcrodr(
             basis = basis.at[t + 1].set(
                 w / jnp.where(hval > 0, hval, 1.0)
             )
-            rel = jnp.abs(g_next) / beta0s
+            rel = jnp.abs(g_next) / beta0s.astype(wdtype)
             return ((t + 1, basis, hraw, hrot, bmat, giv), rel)
 
         st0 = ((jnp.int32(0), basis, hraw, hrot, bmat, giv),
-               jnp.asarray(jnp.inf, dtype))
+               jnp.asarray(jnp.inf, wdtype))
         (t, basis, hraw, hrot, bmat, giv), rel = jax.lax.while_loop(
             cond, body, st0
         )
@@ -293,23 +311,23 @@ def gcrodr(
     # ------------------------------------------------------------------
     def update_recycle(u_blk, c_blk, basis, hraw, bmat):
         km = k + m
-        gmat = jnp.zeros((km + 1, km), dtype)
-        gmat = gmat.at[:k, :k].set(jnp.eye(k, dtype=dtype))
+        gmat = jnp.zeros((km + 1, km), wdtype)
+        gmat = gmat.at[:k, :k].set(jnp.eye(k, dtype=wdtype))
         gmat = gmat.at[:k, k:].set(bmat)
         gmat = gmat.at[k:, k:].set(hraw)
         cu = bmatdot(c_blk, u_blk)           # (k, k)
         vu = bmatdot(basis, u_blk)           # (m+1, k)
-        fmat = jnp.zeros((km + 1, km), dtype)
+        fmat = jnp.zeros((km + 1, km), wdtype)
         fmat = fmat.at[:k, :k].set(cu)
         fmat = fmat.at[k:, :k].set(vu)
         fmat = fmat.at[k:, k:].set(
-            jnp.eye(m + 1, m, dtype=dtype)
+            jnp.eye(m + 1, m, dtype=wdtype)
         )
         m1 = gmat.T @ gmat
         m2 = gmat.T @ fmat
         pencil = solve_small(m2, m1)  # TPU: no f64 LuDecomposition
         z, okc = _deflation_coefs(pencil, k)  # (km, k)
-        z = z.astype(dtype)
+        z = z.astype(wdtype)
         u_new = row_combine(
             z, jnp.concatenate([u_blk, basis[:m]], axis=0)
         )
@@ -333,11 +351,11 @@ def gcrodr(
         zero block (a zero import means "no recycle yet"; see below).
         Matvec-free: A·(V z) = V_{m+1}·(H̄ z)."""
         hm = hraw[:m, :m]
-        em = jnp.zeros((m,), dtype).at[m - 1].set(1.0)
+        em = jnp.zeros((m,), wdtype).at[m - 1].set(1.0)
         f = solve_small(hm.T, em)  # TPU: no f64 LuDecomposition
         cmat = hm.at[:, m - 1].add(hraw[m, m - 1] ** 2 * f)
         z, okc = _deflation_coefs(cmat, k)  # (m, k)
-        z = z.astype(dtype)
+        z = z.astype(wdtype)
         u_new = row_combine(z, basis[:m])
         au_new = row_combine(hraw @ z, basis)
         u_blk, c_blk = renormalize(u_new, au_new)
@@ -356,8 +374,9 @@ def gcrodr(
                 f"recycle must be (k, *shape) = {(k,) + shape}, got "
                 f"{recycle.shape}"
             )
-        au = jax.vmap(op)(recycle)  # the one import cost: k matvecs
-        u_blk, c_blk = renormalize(recycle, au)
+        rec_w = recycle.astype(wdtype)
+        au = jax.vmap(op)(rec_w)  # the one import cost: k matvecs
+        u_blk, c_blk = renormalize(rec_w, au)
         cyc0 = jnp.int32(0)
         rel0 = vnorm(r) / beta0s
     else:
@@ -365,13 +384,20 @@ def gcrodr(
         # enter as zero blocks — all projections are no-ops); harmonic
         # Ritz of the plain Hessenberg seeds U (gmres_dr.py:223's
         # last-column formula) — matvec-free via A·(V y) = V_{m+1}·(H̄ y).
-        u0 = jnp.zeros((k,) + shape, dtype)
-        c0 = jnp.zeros((k,) + shape, dtype)
+        u0 = jnp.zeros((k,) + shape, wdtype)
+        c0 = jnp.zeros((k,) + shape, wdtype)
         basis, hraw, _, y, resid_coefs, t, rel0 = arnoldi_cycle(
             r, u0, c0
         )
         x = x + comb(y, basis[:m])
-        r = comb(resid_coefs, basis)
+        if mixed:
+            # IR boundary: true preconditioned residual in the
+            # caller's precision decides convergence, not the
+            # work-precision estimate.
+            r = rhs - op(x)
+            rel0 = vnorm(r) / beta0s
+        else:
+            r = comb(resid_coefs, basis)
         u_blk, c_blk = seed_from_hessenberg(basis, hraw)
         history = history.at[0].set(rel0)
         cyc0 = jnp.int32(1)
@@ -393,7 +419,7 @@ def gcrodr(
 
     def body(carry):
         (cyc, x, r, u_blk, c_blk, n_out), status, hist = carry
-        d = bdot(c_blk, r)
+        d = bdot(c_blk, r.astype(wdtype))
         x = x + comb(d, u_blk)
         r = r - comb(d, c_blk)
         basis, hraw, bmat, y, resid_coefs, t, rel = arnoldi_cycle(
@@ -401,7 +427,15 @@ def gcrodr(
         )
         yu = -(bmat @ y)
         x = x + comb(y, basis[:m]) + comb(yu, u_blk)
-        r = comb(resid_coefs, basis)
+        if mixed:
+            # IR boundary: recompute the true preconditioned residual
+            # in the caller's precision (one extra op application per
+            # m-step cycle) — convergence is decided on THIS, never
+            # on the work-precision Givens estimate.
+            r = rhs - op(x)
+            rel = vnorm(r) / beta0s
+        else:
+            r = comb(resid_coefs, basis)
         # With a live recycle pair, update via the combined pencil.
         # When (U, C) is still the zero block — a zero-block import,
         # or a failed import/update — the combined pencil is singular
@@ -454,5 +488,5 @@ def gcrodr(
         residual=rel_true,
         status=status,
         residual_history=history,
-        recycle=u_blk,
+        recycle=u_blk.astype(dtype),
     )

@@ -153,3 +153,55 @@ def test_subspace_deflation_matches_eig_quality():
                   max_restarts=100, deflation="subspace")
     assert bool(warm.converged)
     assert int(warm.restarts) <= int(cold.restarts)
+
+
+def test_mixed_precision_inner_dtype():
+    """inner_dtype=float32: cycles run at work precision, x/residual
+    stay f64, every boundary re-certifies the TRUE preconditioned
+    residual in f64 (never the f32 Givens estimate), and the exported
+    recycle block is cast back to b's dtype."""
+    n = 48
+    op = gt.convection_diffusion_operator(n, 0.4, 0.2)
+    m_inv = gt.convection_diffusion_multigrid_preconditioner(n, 0.4, 0.2)
+    b = op(jnp.ones((n, n)))
+    assert b.dtype == jnp.float64
+    res = gcrodr(op, b, k=4, restart=16, tol=1e-10, max_restarts=80,
+                 M=m_inv, inner_dtype=jnp.float32)
+    assert bool(res.converged)
+    assert res.x.dtype == jnp.float64
+    assert res.recycle.dtype == jnp.float64
+    # the certified exit residual really is below the f32 floor: the
+    # f64 IR boundary is doing the convergence work
+    assert float(res.residual) < 1e-10
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-8)
+    # and the mixed recycle block warm-starts a PURE f64 solve (the
+    # sequence carry is precision-agnostic)
+    b2 = op(jnp.full((n, n), 2.0))
+    warm = gcrodr(op, b2, k=4, restart=16, tol=1e-10, max_restarts=80,
+                  M=m_inv, recycle=res.recycle)
+    cold = gcrodr(op, b2, k=4, restart=16, tol=1e-10, max_restarts=80,
+                  M=m_inv)
+    assert bool(warm.converged)
+    assert int(warm.restarts) <= int(cold.restarts)
+
+
+def test_mixed_precision_sharded_parity():
+    """The mixed path under GSPMD: iteration/cycle counts over the
+    8-device mesh must equal the single-device run exactly."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = 48
+    op = gt.convection_diffusion_operator(n, 0.4, 0.2)
+    b = op(jnp.ones((n, n)))
+    run = lambda bb: gcrodr(op, bb, k=4, restart=16, tol=1e-9,  # noqa: E731
+                            max_restarts=80, inner_dtype=jnp.float32)
+    ref = run(b)
+    mesh = jax.make_mesh((8,), ("grid",),
+                         axis_types=(jax.sharding.AxisType.Auto,))
+    b_sh = jax.device_put(b, NamedSharding(mesh, P("grid", None)))
+    sh = jax.jit(run)(b_sh)
+    assert bool(sh.converged)
+    assert int(sh.restarts) == int(ref.restarts)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x),
+                               atol=1e-6)
